@@ -11,12 +11,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _u32(x):
+    return jnp.uint32(x)
+
+
 def _expand_bits(v):
     """Spread the low 10 bits of v so there are two zero bits between each."""
-    v = (v * 0x00010001) & 0xFF0000FF
-    v = (v * 0x00000101) & 0x0F00F00F
-    v = (v * 0x00000011) & 0xC30C30C3
-    v = (v * 0x00000005) & 0x49249249
+    v = (v * _u32(0x00010001)) & _u32(0xFF0000FF)
+    v = (v * _u32(0x00000101)) & _u32(0x0F00F00F)
+    v = (v * _u32(0x00000011)) & _u32(0xC30C30C3)
+    v = (v * _u32(0x00000005)) & _u32(0x49249249)
     return v
 
 
@@ -30,11 +34,11 @@ def morton3d(x, y, z):
 
 
 def _compact_bits(x):
-    x = x & 0x49249249
-    x = (x | (x >> 2)) & 0xC30C30C3
-    x = (x | (x >> 4)) & 0x0F00F00F
-    x = (x | (x >> 8)) & 0xFF0000FF
-    x = (x | (x >> 16)) & 0x0000FFFF
+    x = x & _u32(0x49249249)
+    x = (x | (x >> 2)) & _u32(0xC30C30C3)
+    x = (x | (x >> 4)) & _u32(0x0F00F00F)
+    x = (x | (x >> 8)) & _u32(0xFF0000FF)
+    x = (x | (x >> 16)) & _u32(0x0000FFFF)
     return x
 
 

@@ -1,0 +1,254 @@
+import jax.numpy as jnp
+import numpy as np
+
+from pienerf_tpu.sim import solver
+from pienerf_tpu.sim.solver import (
+    get_ip_info, point_positions, sim_init, sim_step, update_force,
+    volume_invariant_project_np,
+)
+
+
+def _cube_cloud(n=8, jitter=0.0, seed=0):
+    """Points filling [0.3, 0.7]^3 with optional jitter."""
+    g = np.linspace(0.3, 0.7, n)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)
+    if jitter:
+        pos += np.random.RandomState(seed).uniform(-jitter, jitter, pos.shape)
+    npts = pos.shape[0]
+    mass = np.full(npts, 0.1)
+    mu = np.full(npts, 1e4)
+    lam = np.full(npts, 1e4)
+    pin = np.zeros(npts, bool)
+    return pos, mass, mu, lam, pin
+
+
+def _init(gravity=(0.0, -9.8, 0.0), pin_top=False, **kw):
+    pos, mass, mu, lam, pin = _cube_cloud()
+    if pin_top:
+        pin = pos[:, 1] > 0.65
+    defaults = dict(
+        dt=1e-2, iters=10, bbox=np.array([1.0, 1.0, 1.0]), kres=4,
+        dx=0.2, gravity=gravity, stiff=1e5, base=np.array([0.0, 0.0, 0.0]),
+    )
+    defaults.update(kw)
+    return sim_init(pos, mass, mu, lam, pin, **defaults)
+
+
+def test_volume_projection_det_one():
+    rng = np.random.RandomState(0)
+    # moderate deformations converge tightly in the 3 fixed Gauss-Newton steps
+    sig = rng.uniform(0.8, 1.2, size=(100, 3))
+    out = volume_invariant_project_np(sig)
+    np.testing.assert_allclose(np.prod(out, axis=-1), 1.0, atol=1e-5)
+    # extreme compression still moves det much closer to 1
+    sig = rng.uniform(0.5, 1.5, size=(100, 3))
+    out = volume_invariant_project_np(sig)
+    err0 = np.abs(np.prod(sig, axis=-1) - 1.0)
+    err1 = np.abs(np.prod(out, axis=-1) - 1.0)
+    assert np.all(err1 <= np.maximum(0.1 * err0, 2e-2))
+    # already-isochoric inputs are fixed points
+    iso = np.stack([sig[:, 0], 1 / sig[:, 0], np.ones(100)], axis=1)
+    np.testing.assert_allclose(volume_invariant_project_np(iso), iso, atol=1e-8)
+
+
+def test_assembly_matches_naive():
+    rng = np.random.RandomState(1)
+    n, K = 5, 6
+    topo = rng.randint(0, K, size=(n, 8)).astype(np.int32)
+    blocks = rng.randn(n, 8, 10, 8, 10)
+    dim = K * 10
+    got = solver._assemble_scalar_matrix(dim, topo, blocks)
+    want = np.zeros((dim, dim))
+    for v in range(n):
+        for i in range(8):
+            for x in range(10):
+                for j in range(8):
+                    for y in range(10):
+                        want[topo[v, i] * 10 + x, topo[v, j] * 10 + y] += blocks[v, i, x, j, y]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_rest_state_is_stationary_without_gravity():
+    consts, state, aux = _init(gravity=(0.0, 0.0, 0.0))
+    s = state
+    for _ in range(5):
+        s = sim_step(consts, s)
+    np.testing.assert_allclose(np.asarray(s.ddof), 0.0, atol=1e-6)
+
+
+def test_ip_info_at_rest():
+    consts, state, aux = _init()
+    p, F, dF = get_ip_info(consts, state)
+    np.testing.assert_allclose(np.asarray(p), aux["ip_pos"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(F), np.broadcast_to(np.eye(3), F.shape), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(dF), 0.0, atol=1e-6)
+
+
+def test_free_fall_under_gravity():
+    consts, state, aux = _init(gravity=(0.0, -9.8, 0.0))
+    s = state
+    for _ in range(20):
+        s = sim_step(consts, s)
+    p, _, _ = get_ip_info(consts, s)
+    dy = np.asarray(p)[:, 1] - aux["ip_pos"][:, 1]
+    assert dy.mean() < -1e-4, f"body should fall, got mean dy={dy.mean()}"
+
+
+def test_pinned_points_stay_put():
+    consts, state, aux = _init(pin_top=True)
+    s = state
+    for _ in range(30):
+        s = sim_step(consts, s)
+    pos_def = np.asarray(point_positions(consts, s))
+    pinned = aux["is_pin"]
+    drift = np.abs(pos_def[pinned] - aux["pos"][pinned]).max()
+    sag = (pos_def[~pinned][:, 1] - aux["pos"][~pinned][:, 1]).mean()
+    assert drift < 0.02, f"pinned drift {drift}"
+    assert sag < 0, "unpinned body should sag under gravity"
+    # and it should not explode
+    assert np.abs(pos_def).max() < 2.0
+
+
+def test_step_matches_float64_oracle():
+    """The f32 delta-form step must track the reference's f64 absolute-form
+    algebra: dof = dof_rest + G^-1 (M/dt^2 (dof + dt v) + f + g + E - E_rest
+    - M/dt^2 dof_rest)."""
+    consts, state, aux = _init(gravity=(0.0, -9.8, 0.0))
+
+    G = np.asarray(consts.global_inv, np.float64)
+    M = np.asarray(consts.mass_invt2, np.float64)
+    rg = np.asarray(consts.rhs_gravity, np.float64)
+    dof_rest = np.asarray(consts.dof_rest, np.float64)
+    topo = np.asarray(consts.IP_kernel)
+    dNx = np.asarray(consts.IP_dNx, np.float64)
+    mu = np.asarray(consts.IP_mu, np.float64)
+    lam = np.asarray(consts.IP_lam, np.float64)
+    n_k = dof_rest.shape[0]
+    dim = n_k * 10
+
+    def E(dof):
+        return solver._rhs_elastic_np(consts.dx, topo, mu, lam, dNx, dof, n_k)
+
+    rhs_rest = E(dof_rest) + (M @ dof_rest.reshape(dim, 3)).reshape(n_k, 10, 3)
+
+    dof = dof_rest.copy()
+    momentum = (M @ dof.reshape(dim, 3)).reshape(n_k, 10, 3) + rg
+    for _ in range(10):
+        rhs = momentum + E(dof) - rhs_rest
+        dof = dof_rest + (G @ rhs.reshape(dim, 3)).reshape(n_k, 10, 3)
+
+    s = sim_step(consts, state)
+    got = np.asarray(s.ddof) + dof_rest
+    delta_scale = max(np.abs(dof - dof_rest).max(), 1e-12)
+    err = np.abs(got - dof).max()
+    # near rest the 3x3 SVD is degenerate (F ~ I), limiting f32 agreement to
+    # a few percent of the (tiny) deformation; absolute error is ~1e-5
+    assert err < 5e-2 * delta_scale + 1e-7, f"err={err}, scale={delta_scale}"
+
+
+def test_deformed_step_matches_float64_oracle():
+    """From a well-deformed state the SVD is well-conditioned and the f32
+    delta step must track the f64 absolute-form reference closely."""
+    consts, state, aux = _init(gravity=(0.0, -9.8, 0.0))
+    rng = np.random.RandomState(7)
+    n_k = np.asarray(consts.dof_rest).shape[0]
+    ddof0 = rng.randn(n_k, 10, 3) * 0.05
+    vel0 = rng.randn(n_k, 10, 3) * 0.01
+
+    G = np.asarray(consts.global_inv, np.float64)
+    M = np.asarray(consts.mass_invt2, np.float64)
+    rg = np.asarray(consts.rhs_gravity, np.float64)
+    dof_rest = np.asarray(consts.dof_rest, np.float64)
+    topo = np.asarray(consts.IP_kernel)
+    dNx = np.asarray(consts.IP_dNx, np.float64)
+    mu = np.asarray(consts.IP_mu, np.float64)
+    lam = np.asarray(consts.IP_lam, np.float64)
+    dim = n_k * 10
+    dt = consts.dt
+
+    def E(dof):
+        return solver._rhs_elastic_np(consts.dx, topo, mu, lam, dNx, dof, n_k)
+
+    rhs_rest = E(dof_rest) + (M @ dof_rest.reshape(dim, 3)).reshape(n_k, 10, 3)
+    dof = dof_rest + ddof0
+    momentum = (M @ (dof + dt * vel0).reshape(dim, 3)).reshape(n_k, 10, 3) + rg
+    for _ in range(10):
+        rhs = momentum + E(dof) - rhs_rest
+        dof = dof_rest + (G @ rhs.reshape(dim, 3)).reshape(n_k, 10, 3)
+
+    s0 = state._replace(ddof=jnp.asarray(ddof0, jnp.float32),
+                        dof_vel=jnp.asarray(vel0, jnp.float32))
+    s1 = sim_step(consts, s0)
+    got = np.asarray(s1.ddof) + dof_rest
+    delta_scale = max(np.abs(dof - dof_rest).max(), 1e-12)
+    err = np.abs(got - dof).max()
+    assert err < 2e-3 * delta_scale, f"err={err}, scale={delta_scale}"
+
+
+def test_two_steps_match_float64_oracle_with_velocity():
+    consts, state, aux = _init(gravity=(0.0, -9.8, 0.0))
+
+    G = np.asarray(consts.global_inv, np.float64)
+    M = np.asarray(consts.mass_invt2, np.float64)
+    rg = np.asarray(consts.rhs_gravity, np.float64)
+    dof_rest = np.asarray(consts.dof_rest, np.float64)
+    topo = np.asarray(consts.IP_kernel)
+    dNx = np.asarray(consts.IP_dNx, np.float64)
+    mu = np.asarray(consts.IP_mu, np.float64)
+    lam = np.asarray(consts.IP_lam, np.float64)
+    n_k = dof_rest.shape[0]
+    dim = n_k * 10
+    dt = consts.dt
+
+    def E(dof):
+        return solver._rhs_elastic_np(consts.dx, topo, mu, lam, dNx, dof, n_k)
+
+    rhs_rest = E(dof_rest) + (M @ dof_rest.reshape(dim, 3)).reshape(n_k, 10, 3)
+
+    dof = dof_rest.copy()
+    vel = np.zeros_like(dof)
+    for _ in range(2):
+        dof_last = dof.copy()
+        momentum = (M @ (dof + dt * vel).reshape(dim, 3)).reshape(n_k, 10, 3) + rg
+        for _ in range(10):
+            rhs = momentum + E(dof) - rhs_rest
+            dof = dof_rest + (G @ rhs.reshape(dim, 3)).reshape(n_k, 10, 3)
+        vel = (dof - dof_last) / dt * 0.998
+
+    s = state
+    for _ in range(2):
+        s = sim_step(consts, s)
+    got = np.asarray(s.ddof) + dof_rest
+    delta_scale = max(np.abs(dof - dof_rest).max(), 1e-12)
+    err = np.abs(got - dof).max()
+    assert err < 5e-2 * delta_scale + 1e-7, f"err={err}, scale={delta_scale}"
+
+
+def test_update_force_matches_naive():
+    consts, state, aux = _init()
+    vid = 3
+    f = np.array([1.0, 2.0, -3.0])
+    s = update_force(consts, state, jnp.asarray(vid), jnp.asarray(f, jnp.float32))
+
+    want = np.zeros_like(np.asarray(state.ddof))
+    m = float(consts.IP_rho[vid]) * consts.dx**3
+    Nx = np.asarray(consts.IP_Nx, np.float64)
+    topo = np.asarray(consts.IP_kernel)
+    for i in range(8):
+        for j in range(10):
+            want[topo[vid, i], j] += m * Nx[vid, i, j] * f
+    np.testing.assert_allclose(np.asarray(s.dof_f), want, rtol=1e-4, atol=1e-6)
+
+
+def test_force_pulls_body():
+    consts, state, aux = _init(gravity=(0.0, 0.0, 0.0))
+    s = update_force(consts, state, jnp.asarray(0),
+                     jnp.asarray([50.0, 0.0, 0.0], jnp.float32))
+    for _ in range(10):
+        s = sim_step(consts, s)
+    p, _, _ = get_ip_info(consts, s)
+    dx_move = np.asarray(p)[:, 0] - aux["ip_pos"][:, 0]
+    assert dx_move.mean() > 1e-5

@@ -1,0 +1,168 @@
+"""NeRF network: hash encoding -> sigma MLP; SH encoding -> color MLP.
+
+Functional twin of the reference NeRFNetwork (reference: nerf/network.py:13-209):
+- sigma net: 2 bias-free linear layers 32 -> 64 -> 16 (1 sigma + 15 geo
+  features), sigma through trunc_exp (nerf/activation.py:5-18).
+- color net: 3 bias-free layers (16 SH + 15 geo) -> 64 -> 64 -> 3, sigmoid.
+- optional background net on a sphere: 2D hash encoding (4 levels) + SH dirs
+  -> 2 layers -> rgb (nerf/network.py:74-95).
+
+Parameters live in a plain nested dict pytree. Matmuls run in a configurable
+compute dtype (bfloat16 on TPU replaces the reference's fp16 autocast); the
+master params stay float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pienerf_tpu.models import hash_encoder
+from pienerf_tpu.models.sh_encoder import sh_encode
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with clamped-input gradient (reference nerf/activation.py:5-18)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+class NetworkSpec(NamedTuple):
+    """Static architecture description (hashable)."""
+    grid: hash_encoder.HashGridSpec
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    sh_degree: int = 4
+    bound: float = 1.0
+    bg_radius: float = -1.0
+    grid_bg: Optional[hash_encoder.HashGridSpec] = None
+    num_layers_bg: int = 2
+    hidden_dim_bg: int = 64
+    compute_dtype: str = "float32"
+
+
+def make_spec(bound: float = 1.0, bg_radius: float = -1.0,
+              compute_dtype: str = "float32", **kw) -> NetworkSpec:
+    grid = hash_encoder.make_spec(desired_resolution=2048 * bound)
+    grid_bg = None
+    if bg_radius > 0:
+        grid_bg = hash_encoder.make_spec(
+            input_dim=2, num_levels=4, desired_resolution=2048
+        )
+    return NetworkSpec(grid=grid, bound=bound, bg_radius=bg_radius,
+                       grid_bg=grid_bg, compute_dtype=compute_dtype, **kw)
+
+
+def _linear_init(rng, fan_in, fan_out):
+    """Kaiming-uniform, matching torch.nn.Linear's default initializer."""
+    bd = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(rng, (fan_in, fan_out), jnp.float32, -bd, bd)
+
+
+def init_params(rng: jax.Array, spec: NetworkSpec) -> Dict[str, Any]:
+    keys = jax.random.split(rng, 16)
+    in_dim = spec.grid.output_dim                      # 32
+    sh_dim = spec.sh_degree**2                         # 16
+
+    sigma_dims = [in_dim] + [spec.hidden_dim] * (spec.num_layers - 1) + [
+        1 + spec.geo_feat_dim
+    ]
+    color_dims = [sh_dim + spec.geo_feat_dim] + [spec.hidden_dim_color] * (
+        spec.num_layers_color - 1
+    ) + [3]
+
+    params: Dict[str, Any] = {
+        "encoder": hash_encoder.init_params(keys[0], spec.grid),
+        "sigma_net": [
+            _linear_init(keys[1 + i], sigma_dims[i], sigma_dims[i + 1])
+            for i in range(spec.num_layers)
+        ],
+        "color_net": [
+            _linear_init(keys[5 + i], color_dims[i], color_dims[i + 1])
+            for i in range(spec.num_layers_color)
+        ],
+    }
+    if spec.bg_radius > 0:
+        assert spec.grid_bg is not None
+        bg_dims = [spec.grid_bg.output_dim + sh_dim] + [spec.hidden_dim_bg] * (
+            spec.num_layers_bg - 1
+        ) + [3]
+        params["encoder_bg"] = hash_encoder.init_params(keys[9], spec.grid_bg)
+        params["bg_net"] = [
+            _linear_init(keys[10 + i], bg_dims[i], bg_dims[i + 1])
+            for i in range(spec.num_layers_bg)
+        ]
+    return params
+
+
+def _mlp(layers, h, dtype):
+    h = h.astype(dtype)
+    for i, w in enumerate(layers):
+        h = h @ w.astype(dtype)
+        if i != len(layers) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+def density(params, spec: NetworkSpec, x: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+    """x: [N, 3] in [-bound, bound] -> (sigma [N], geo_feat [N, 15])."""
+    dtype = jnp.dtype(spec.compute_dtype)
+    enc = hash_encoder.encode(params["encoder"], spec.grid, x, spec.bound)
+    h = _mlp(params["sigma_net"], enc, dtype).astype(jnp.float32)
+    sigma = trunc_exp(h[..., 0])
+    return sigma, h[..., 1:]
+
+
+def color(params, spec: NetworkSpec, d: jax.Array, geo_feat: jax.Array
+          ) -> jax.Array:
+    """d: [N, 3] normalized dirs; geo_feat: [N, 15] -> rgb [N, 3]."""
+    dtype = jnp.dtype(spec.compute_dtype)
+    enc_d = sh_encode(d, spec.sh_degree)
+    h = jnp.concatenate([enc_d, geo_feat], axis=-1)
+    h = _mlp(params["color_net"], h, dtype).astype(jnp.float32)
+    return jax.nn.sigmoid(h)
+
+
+def forward(params, spec: NetworkSpec, x: jax.Array, d: jax.Array
+            ) -> Tuple[jax.Array, jax.Array]:
+    """Full query (reference nerf/network.py:98-127): (sigma [N], rgb [N,3])."""
+    sigma, geo = density(params, spec, x)
+    return sigma, color(params, spec, d, geo)
+
+
+def background(params, spec: NetworkSpec, sph: jax.Array, d: jax.Array
+               ) -> jax.Array:
+    """Background sphere color (reference nerf/network.py:133-148).
+
+    sph: [N, 2] in [-1, 1]; d: [N, 3].
+    """
+    assert spec.grid_bg is not None
+    dtype = jnp.dtype(spec.compute_dtype)
+    h_pos = hash_encoder.encode(params["encoder_bg"], spec.grid_bg, sph, 1.0)
+    enc_d = sh_encode(d, spec.sh_degree)
+    h = jnp.concatenate([enc_d, h_pos], axis=-1)
+    h = _mlp(params["bg_net"], h, dtype).astype(jnp.float32)
+    return jax.nn.sigmoid(h)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -58,9 +58,13 @@ def occupied(bitfield: jax.Array, level: jax.Array, code: jax.Array) -> jax.Arra
     return (word >> (index & jnp.uint32(31))) & jnp.uint32(1) > 0
 
 
-@functools.partial(jax.jit, static_argnames=("density_fn",))
 def _eval_cascade_chunk(density_fn, coords, cas_bound, half_grid, noise):
-    """Density at jittered cell centers of one cascade chunk."""
+    """Density at jittered cell centers of one cascade chunk.
+
+    Deliberately not jitted here: density_fn changes identity per call (it
+    closes over current params), so the caller supplies an already-jitted
+    density_fn and this wrapper stays trace-free.
+    """
     xyz = (2.0 * coords.astype(jnp.float32) / (GRID_SIZE - 1) - 1.0)
     xyz = xyz * (cas_bound - half_grid) + noise * half_grid
     return density_fn(xyz)

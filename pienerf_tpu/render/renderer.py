@@ -125,6 +125,8 @@ def render_image(
 
     rays_o, rays_d = get_rays_full(jnp.asarray(pose, jnp.float32), intrinsics, H, W)
     n = H * W
+    # don't pad small frames up to a huge chunk; round to a power of two
+    chunk = min(chunk, max(256, 1 << (n - 1).bit_length()))
     imgs, deps, wss = [], [], []
     bg = jnp.asarray(bg_color, jnp.float32)
     for s in range(0, n, chunk):

@@ -1,0 +1,322 @@
+"""Training loop for the radiance field.
+
+Functional core (`make_train_step`) + a `Trainer` facade with the reference's
+workflow surface: train / evaluate / test, EMA weights, density-grid refresh
+every `update_extra_interval` steps, checkpoint save/load with rotation
+(reference: nerf/trainer.py:5-916).
+
+Optimizer matches the reference recipe (main_train.py:69-79): Adam(0.9, 0.99,
+eps=1e-15), exponential lr decay to 0.1x over `iters`, EMA(0.95) of params.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pienerf_tpu.config import PieNeRFConfig
+from pienerf_tpu.data.rays import get_rays_sampled, sample_pixel_indices
+from pienerf_tpu.io import checkpoint as ckpt_io
+from pienerf_tpu.models import network
+from pienerf_tpu.ops import grid as gridlib
+from pienerf_tpu.render import renderer
+from pienerf_tpu.train.metrics import PSNRMeter
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jax.Array
+
+
+def make_optimizer(lr: float, total_iters: int) -> optax.GradientTransformation:
+    sched = optax.exponential_decay(
+        init_value=lr, transition_steps=total_iters, decay_rate=0.1
+    )
+    return optax.adam(sched, b1=0.9, b2=0.99, eps=1e-15)
+
+
+def make_train_step(
+    spec: network.NetworkSpec,
+    settings: renderer.RenderSettings,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.95,
+) -> Callable:
+    """Build the jitted train step.
+
+    batch: dict with rays_o [N,3], rays_d [N,3], pixels [N,3or4].
+    RGBA targets composite onto a per-step random background
+    (reference nerf/trainer.py:187-198).
+    """
+
+    @jax.jit
+    def train_step(state: TrainState, bitfield: jax.Array,
+                   batch: Dict[str, jax.Array], rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        k_bg, k_perturb = jax.random.split(rng)
+        pixels = batch["pixels"]
+        if pixels.shape[-1] == 4:
+            bg = jax.random.uniform(k_bg, (pixels.shape[0], 3))
+            target = pixels[:, :3] * pixels[:, 3:] + bg * (1.0 - pixels[:, 3:])
+        else:
+            bg = jnp.ones((pixels.shape[0], 3))
+            target = pixels
+
+        def loss_fn(params):
+            out = renderer.render_rays(
+                params, spec, settings, bitfield,
+                batch["rays_o"], batch["rays_d"], bg,
+                rng=k_perturb, perturb=True,
+            )
+            loss = jnp.mean((out["image"] - target) ** 2)
+            per_ray = jnp.mean((out["image"] - target) ** 2, axis=-1)
+            return loss, per_ray
+
+        (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, params,
+        )
+        new_state = TrainState(params, opt_state, ema, state.step + 1)
+        return new_state, {"loss": loss, "per_ray_loss": per_ray}
+
+    return train_step
+
+
+class Trainer:
+    """Workflow facade (reference nerf/trainer.py Trainer)."""
+
+    def __init__(self, name: str, cfg: PieNeRFConfig,
+                 spec: Optional[network.NetworkSpec] = None,
+                 workspace: Optional[str] = None,
+                 use_checkpoint: str = "latest",
+                 eval_interval: int = 50,
+                 max_keep_ckpt: int = 2,
+                 seed: Optional[int] = None):
+        self.name = name
+        self.cfg = cfg
+        self.workspace = workspace or cfg.workspace
+        self.eval_interval = eval_interval
+        self.max_keep_ckpt = max_keep_ckpt
+        self.epoch = 0
+        self.global_step = 0
+        self.stats: Dict[str, Any] = {"results": [], "checkpoints": []}
+
+        self.spec = spec or network.make_spec(
+            bound=cfg.bound, bg_radius=cfg.bg_radius,
+            compute_dtype=cfg.compute_dtype,
+        )
+        self.settings = renderer.RenderSettings(
+            bound=cfg.bound, cascade=cfg.cascade, min_near=cfg.min_near,
+            dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+            T_thresh=cfg.T_thresh, max_samples=cfg.train_max_samples,
+            bg_radius=cfg.bg_radius,
+        )
+        self.rng = jax.random.PRNGKey(seed if seed is not None else cfg.seed)
+        self.rng, k = jax.random.split(self.rng)
+        params = network.init_params(k, self.spec)
+        self.optimizer = make_optimizer(cfg.lr, cfg.iters)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=params,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.grid = gridlib.init(cfg.cascade)
+        self._train_step = make_train_step(self.spec, self.settings,
+                                           self.optimizer)
+        self._density_fn = self._make_density_fn()
+
+        os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
+        self.log_path = os.path.join(self.workspace, "log_ngp.txt")
+
+        if use_checkpoint == "latest":
+            self.load_checkpoint(None)
+        elif use_checkpoint not in ("scratch", None) or cfg.ckpt_path:
+            self.load_checkpoint(cfg.ckpt_path or use_checkpoint)
+
+    # -- internals ---------------------------------------------------------
+
+    def _make_density_fn(self):
+        spec = self.spec
+
+        def density_fn(x, params):
+            sigma, _ = network.density(params, spec, x)
+            return sigma * self.settings.density_scale
+
+        jitted = jax.jit(density_fn)
+        return jitted
+
+    def log(self, msg: str) -> None:
+        print(msg)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # -- training ----------------------------------------------------------
+
+    def update_extra_state(self) -> None:
+        params = self.state.params
+        fn = functools.partial(self._density_fn, params=params)
+        self.rng, k = jax.random.split(self.rng)
+        self.grid = gridlib.update(
+            self.grid, fn, self.cfg.bound, self.cfg.density_thresh, k
+        )
+
+    def mark_untrained_grid(self, poses, intrinsics) -> None:
+        self.grid = gridlib.mark_untrained(self.grid, poses, intrinsics,
+                                           self.cfg.bound)
+
+    def train_iterations(self, dataset, n_iters: int) -> float:
+        """Run n_iters steps sampling random views from `dataset`.
+
+        dataset: object with poses [B,4,4] np, images [B,H,W,C] np,
+        intrinsics (fx,fy,cx,cy), H, W.
+        """
+        losses = []
+        poses = jnp.asarray(dataset.poses, jnp.float32)
+        images = jnp.asarray(dataset.images, jnp.float32)
+        intr = dataset.intrinsics
+        H, W = dataset.H, dataset.W
+        B = poses.shape[0]
+
+        for _ in range(n_iters):
+            if self.global_step % self.cfg.update_extra_interval == 0:
+                self.update_extra_state()
+            self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
+            vi = int(jax.random.randint(k1, (), 0, B))
+            inds, _ = sample_pixel_indices(k2, H, W, self.cfg.num_rays)
+            rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
+            pix = images[vi].reshape(H * W, -1)[inds]
+            batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
+            self.state, m = self._train_step(self.state, self.grid.bitfield,
+                                             batch, k3)
+            self.global_step += 1
+            losses.append(float(m["loss"]))
+        return float(np.mean(losses))
+
+    def train(self, train_dataset, valid_dataset=None,
+              max_iters: Optional[int] = None) -> None:
+        total = max_iters or self.cfg.iters
+        t0 = time.time()
+        chunk = 500
+        done = 0
+        while done < total:
+            n = min(chunk, total - done)
+            loss = self.train_iterations(train_dataset, n)
+            done += n
+            self.log(
+                f"[train] iter {self.global_step}/{total} loss={loss:.6f} "
+                f"({(time.time() - t0):.1f}s)"
+            )
+            if valid_dataset is not None and done % (chunk * 4) == 0:
+                p = self.evaluate(valid_dataset)
+                self.log(f"[eval] PSNR={p:.3f}")
+            self.save_checkpoint()
+
+    # -- evaluation / inference --------------------------------------------
+
+    def infer_settings(self, max_samples: int = 256) -> renderer.RenderSettings:
+        return self.settings._replace(max_samples=max_samples)
+
+    def render_pose(self, pose, intrinsics, H, W, bg_color=1.0,
+                    use_ema: bool = True, max_samples: int = 256):
+        params = self.state.ema_params if use_ema else self.state.params
+        return renderer.render_image(
+            params, self.spec, self.infer_settings(max_samples), self.grid,
+            pose, intrinsics, H, W, bg_color,
+            chunk=self.cfg.render_ray_chunk,
+        )
+
+    def evaluate(self, dataset, n_views: Optional[int] = None) -> float:
+        meter = PSNRMeter()
+        B = len(dataset.poses)
+        views = range(min(n_views or B, B))
+        for vi in views:
+            out = self.render_pose(dataset.poses[vi], dataset.intrinsics,
+                                   dataset.H, dataset.W)
+            gt = np.asarray(dataset.images[vi], np.float32)
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
+            meter.update(out["image"], gt)
+        return meter.measure()
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _ckpt_file(self, epoch: int) -> str:
+        return os.path.join(self.workspace, "checkpoints",
+                            f"{self.name}_ep{epoch:04d}.npz")
+
+    def save_checkpoint(self, full: bool = True) -> str:
+        self.epoch += 1
+        path = self._ckpt_file(self.epoch)
+        extra = {
+            "density_grid": np.asarray(self.grid.density),
+            "mean_density": float(self.grid.mean_density),
+            "iter_density": int(self.grid.iter_density),
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+        }
+        ckpt_io.save_native(path, {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+        }, extra)
+        self.stats["checkpoints"].append(path)
+        while len(self.stats["checkpoints"]) > self.max_keep_ckpt:
+            old = self.stats["checkpoints"].pop(0)
+            for f in (old, old + ".json"):
+                if os.path.exists(f):
+                    os.remove(f)
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        if path is None:
+            cands = sorted(glob.glob(
+                os.path.join(self.workspace, "checkpoints", f"{self.name}_ep*.npz")
+            ))
+            pths = sorted(glob.glob(
+                os.path.join(self.workspace, "checkpoints", "ngp_ep*.pth")
+            ))
+            path = cands[-1] if cands else (pths[-1] if pths else None)
+        if path is None or not os.path.exists(path):
+            return False
+
+        if path.endswith(".pth"):
+            params, extra = ckpt_io.load_torch_ngp(path)
+            self.state = self.state._replace(params=params, ema_params=params,
+                                             opt_state=self.optimizer.init(params))
+        else:
+            tree, extra = ckpt_io.load_native(path)
+            params = tree.get("params", tree)
+            ema = tree.get("ema_params", params)
+            self.state = self.state._replace(params=params, ema_params=ema,
+                                             opt_state=self.optimizer.init(params))
+        dg = extra.get("density_grid")
+        if dg is not None:
+            dg = jnp.asarray(dg, jnp.float32)
+            md = jnp.asarray(float(extra.get("mean_density", 0.0)), jnp.float32)
+            thresh = jnp.minimum(md, self.cfg.density_thresh)
+            self.grid = gridlib.OccupancyGrid(
+                density=dg,
+                bitfield=gridlib.packbits(dg, thresh),
+                mean_density=md,
+                iter_density=jnp.asarray(int(extra.get("iter_density", 16)),
+                                         jnp.int32),
+            )
+        self.epoch = int(extra.get("epoch", 0))
+        self.global_step = int(extra.get("global_step", 0))
+        self.log(f"[ckpt] loaded {path} (epoch {self.epoch}, "
+                 f"step {self.global_step})")
+        return True

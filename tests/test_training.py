@@ -1,0 +1,63 @@
+import os
+
+import numpy as np
+import pytest
+
+from pienerf_tpu.config import PieNeRFConfig
+from pienerf_tpu.data import synthetic
+from pienerf_tpu.train.metrics import PSNRMeter, SSIMMeter, psnr, ssim
+from pienerf_tpu.train.trainer import Trainer
+
+
+def test_psnr_ssim_basics():
+    a = np.random.RandomState(0).rand(32, 32, 3)
+    assert psnr(a, a) == float("inf")
+    assert abs(ssim(a, a) - 1.0) < 1e-9
+    b = np.clip(a + 0.1, 0, 1)
+    assert 15 < psnr(a, b) < 25
+    m = PSNRMeter()
+    m.update(a, b)
+    assert "PSNR" in m.report()
+
+
+def test_synthetic_gt_consistency():
+    ds = synthetic.make_dataset(n_views=2, H=32, W=32)
+    assert ds.images.shape == (2, 32, 32, 3)
+    assert np.all((ds.images >= 0) & (ds.images <= 1.3))
+    # sphere visible: center pixels darker than bg in at least one channel
+    assert ds.images[0, 16, 16].min() < 0.95
+
+
+@pytest.mark.slow
+def test_end_to_end_training_fits_scene(tmp_path):
+    """Train a small field on the analytic sphere and check novel-view PSNR.
+
+    This is the pipeline-level correctness test standing in for the
+    reference's (missing) tests: march -> network -> composite -> loss ->
+    grads -> optimizer -> occupancy refresh, all under jit.
+    """
+    ds = synthetic.make_dataset(n_views=12, H=48, W=48, seed=0)
+    test_ds = synthetic.make_dataset(n_views=2, H=48, W=48, seed=99)
+
+    cfg = PieNeRFConfig(
+        bound=1.0, dt_gamma=0.0, iters=300, num_rays=1024,
+        max_steps=256, train_max_samples=48, density_thresh=0.5,
+        min_near=0.05, workspace=str(tmp_path / "ws"),
+        update_extra_interval=32,
+    ).finalize()
+    # keep W/H presets from interfering
+    trainer = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    trainer.mark_untrained_grid(ds.poses, ds.intrinsics)
+    trainer.train_iterations(ds, 300)
+
+    p = trainer.evaluate(test_ds, n_views=1)
+    assert p > 17.0, f"novel-view PSNR too low: {p}"
+
+    # checkpoint roundtrip preserves eval quality
+    path = trainer.save_checkpoint()
+    assert os.path.exists(path)
+    t2 = Trainer("ngp", cfg, use_checkpoint="scratch", seed=1)
+    ok = t2.load_checkpoint(path)
+    assert ok
+    p2 = t2.evaluate(test_ds, n_views=1)
+    assert abs(p2 - p) < 0.2

@@ -1,0 +1,210 @@
+"""Deformed-space rendering: march in deformed space, bend samples to rest
+space, query the unmodified radiance field.
+
+Replaces the reference's rund_cuda alive-ray loop + per-frame Warp spatial
+hash + quadratic-bending CUDA kernel (reference: nerf/renderer.py:755-907,
+raymarching.cu:1122-1489) with one jitted static-shape pipeline per frame:
+
+  1. per-frame spatial hash of deformed IPs (one sort)
+  2. dilated cell-occupancy prefilter: lattice points more than one hash
+     cell away from every IP can't bend -> cheap candidate mask
+  3. rank-compaction of candidates to K_bend slots per ray
+  4. vectorized bending (27-cell k-NN seek + Newton) on compacted samples
+  5. occupancy test at the mapped rest-space points, second compaction to
+     the network sample budget, batched field evaluation, composite
+
+`cut` mode restricts bending to cut_bounds and renders the rest of the
+scene statically (reference raymarching.cu:1197-1212; with their x/y typo
+fixed — see ops/bending.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pienerf_tpu.models import network
+from pienerf_tpu.ops import bending as bend_ops
+from pienerf_tpu.ops import raymarch
+from pienerf_tpu.ops import spatial_hash as sh
+from pienerf_tpu.ops.grid import GRID_SIZE, occupied
+from pienerf_tpu.ops.morton import morton3d
+from pienerf_tpu.render.renderer import RenderSettings
+
+
+class DeformedSettings(NamedTuple):
+    """Static configuration of the deformed path."""
+    base: RenderSettings
+    bend: bend_ops.BendSettings
+    layout: sh.HashGridLayout
+    max_bend_samples: int = 128     # K_bend: lattice candidates bent per ray
+
+
+def _occupancy_at(bitfield, pts, bound, cascade):
+    """Occupancy-bit test at world points (finest applicable mip level)."""
+    lvl = raymarch.mip_level(pts, jnp.zeros(pts.shape[:-1]), cascade)
+    mip_bound = jnp.minimum(jnp.exp2(lvl.astype(jnp.float32)), bound)
+    cell = jnp.clip(
+        0.5 * (pts / mip_bound[..., None] + 1.0) * GRID_SIZE, 0, GRID_SIZE - 1
+    ).astype(jnp.int32)
+    code = morton3d(cell[..., 0], cell[..., 1], cell[..., 2])
+    return occupied(bitfield, lvl, code)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "settings"))
+def render_rays_deformed(
+    params,
+    spec: network.NetworkSpec,
+    settings: DeformedSettings,
+    bitfield: jax.Array,
+    p_def: jax.Array,             # [nIP, 3]
+    p_ori: jax.Array,             # [nIP, 3]
+    F: jax.Array,                 # [nIP, 3, 3]
+    dF: jax.Array,                # [nIP, 3, 3, 3]
+    rays_o: jax.Array,            # [N, 3]
+    rays_d: jax.Array,            # [N, 3]
+    bg_color: jax.Array,
+    cut_bounds: Optional[jax.Array] = None,   # [6] when bend.cut
+) -> Dict[str, jax.Array]:
+    st = settings.base
+    bd = settings.bend
+    n = rays_o.shape[0]
+
+    # --- per-frame deformed bounds (values dynamic, shapes static)
+    marg = 1e-3
+    if bd.cut:
+        bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
+        bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
+    else:
+        bbmin = jnp.min(p_def, axis=0) - marg
+        bbmax = jnp.max(p_def, axis=0) + marg
+    aabb = jnp.concatenate([bbmin, bbmax])
+    nears, fars = raymarch.near_far_from_aabb(rays_o, rays_d, aabb, st.min_near)
+
+    # --- per-frame spatial hash (reference rebuilds it each frame too,
+    #     renderer.py:819)
+    table, counts = sh.build_table(settings.layout, p_def)
+    near_obj = sh.dilated_occupancy(settings.layout, counts)   # [n_cells]
+
+    # --- lattice march in deformed space
+    t, dt, _ = raymarch.march_lattice(
+        rays_o, rays_d, nears, fars, bitfield,
+        st.bound, st.cascade, st.max_steps, st.dt_gamma, st.max_steps,
+    )
+    xs = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]  # [N, S, 3]
+
+    inside_t = t < fars[:, None]
+    cells = sh.cell_index(settings.layout, sh.cell_of(settings.layout, xs))
+    near_mask = near_obj[cells]                                  # [N, S]
+
+    if bd.cut:
+        assert cut_bounds is not None
+        cb = cut_bounds
+        in_cut = (
+            (xs[..., 0] > cb[0]) & (xs[..., 0] < cb[1])
+            & (xs[..., 1] > cb[2]) & (xs[..., 1] < cb[3])
+            & (xs[..., 2] > cb[4]) & (xs[..., 2] < cb[5])
+        )
+        xc = jnp.clip(xs, -st.bound, st.bound)
+        # static part: occupancy directly at the (unbent) point
+        occ_static = _occupancy_at(bitfield, xc, st.bound, st.cascade)
+        candidate = inside_t & (jnp.where(in_cut, near_mask, occ_static))
+        bendable = in_cut
+    else:
+        candidate = inside_t & near_mask
+        bendable = jnp.ones_like(candidate)
+
+    # --- compact candidates to K_bend per ray
+    kb = settings.max_bend_samples
+    idx, mask_b = raymarch.compact_samples(candidate, kb)
+    rows = jnp.arange(n)[:, None]
+    ts = t[rows, idx]
+    dts = dt[rows, idx]
+    xb = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]  # [N, kb, 3]
+    xb = jnp.clip(xb, bbmin - 0.0, bbmax - 1e-6) if not bd.cut else jnp.clip(
+        xb, -st.bound, st.bound)
+    bendable_c = bendable[rows, idx] & mask_b
+
+    # --- bend
+    x_flat = xb.reshape(n * kb, 3)
+    x_rest, found = bend_ops.bend_points(
+        settings.layout, bd, table, p_def, p_ori, F, dF,
+        x_flat, bbmin, bbmax,
+    )
+    x_map = jnp.where(bendable_c.reshape(-1, 1), x_rest, x_flat)
+    ok = jnp.where(bendable_c.reshape(-1), found, True)
+
+    # --- occupancy at mapped points + final sample validity
+    x_map = jnp.clip(x_map, -st.bound, st.bound)
+    occ = _occupancy_at(bitfield, x_map, st.bound, st.cascade)
+    valid = (ok & occ).reshape(n, kb) & mask_b
+
+    # --- second compaction into the network budget
+    k = st.max_samples
+    idx2, mask = raymarch.compact_samples(valid, k)
+    ts2 = ts[rows, idx2]
+    dts2 = dts[rows, idx2]
+    xm = x_map.reshape(n, kb, 3)[rows, idx2]                    # [N, k, 3]
+
+    sigmas, rgbs = network.forward(
+        params, spec,
+        xm.reshape(n * k, 3),
+        jnp.broadcast_to(rays_d[:, None, :], (n, k, 3)).reshape(n * k, 3),
+    )
+    sigmas = (sigmas * st.density_scale).reshape(n, k)
+    rgbs = rgbs.reshape(n, k, 3)
+
+    ws, depth, image = raymarch.composite(sigmas, rgbs, dts2, ts2, mask,
+                                          st.T_thresh)
+
+    if st.bg_radius > 0:
+        sph = raymarch.sph_from_ray(rays_o, rays_d, st.bg_radius)
+        bg = network.background(params, spec, sph, rays_d)
+    else:
+        bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (n, 3))
+    image = image + (1.0 - ws)[:, None] * bg
+    depth_n = jnp.clip(depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
+
+    return {"image": image, "depth": depth_n, "depth_raw": depth,
+            "weights_sum": ws}
+
+
+def render_image_deformed(
+    params, spec, settings: DeformedSettings, grid,
+    p_def, p_ori, F, dF,
+    pose: np.ndarray, intrinsics, H: int, W: int,
+    bg_color: float = 1.0, chunk: int = 65536,
+    cut_bounds=None,
+) -> Dict[str, np.ndarray]:
+    """Full-frame deformed render, tiled in fixed-size ray chunks."""
+    from pienerf_tpu.data.rays import get_rays_full
+
+    rays_o, rays_d = get_rays_full(jnp.asarray(pose, jnp.float32),
+                                   intrinsics, H, W)
+    n = H * W
+    chunk = min(chunk, max(256, 1 << (n - 1).bit_length()))
+    imgs, deps, wss = [], [], []
+    bg = jnp.asarray(bg_color, jnp.float32)
+    for s in range(0, n, chunk):
+        ro, rd = rays_o[s:s + chunk], rays_d[s:s + chunk]
+        pad = chunk - ro.shape[0]
+        if pad:
+            ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+            rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        out = render_rays_deformed(
+            params, spec, settings, grid.bitfield, p_def, p_ori, F, dF,
+            ro, rd, bg, cut_bounds,
+        )
+        take = chunk - pad
+        imgs.append(np.asarray(out["image"][:take]))
+        deps.append(np.asarray(out["depth_raw"][:take]))
+        wss.append(np.asarray(out["weights_sum"][:take]))
+    return {
+        "image": np.concatenate(imgs).reshape(H, W, 3),
+        "depth": np.concatenate(deps).reshape(H, W),
+        "weights_sum": np.concatenate(wss).reshape(H, W),
+    }

@@ -34,7 +34,7 @@ bound and convergence masking.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,20 @@ def _inv3x3(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return inv_det[..., None, None] * adj, ok
 
 
+def _topk_smallest(cand: jax.Array, d2: jax.Array, k: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """k smallest by iterative min-extraction (k small). cand/d2: [M, C]."""
+    ids, dists = [], []
+    rows = jnp.arange(cand.shape[0])
+    for _ in range(k):
+        j = jnp.argmin(d2, axis=1)
+        best = d2[rows, j]
+        ids.append(jnp.where(jnp.isfinite(best), cand[rows, j], -1))
+        dists.append(jnp.sqrt(jnp.where(jnp.isfinite(best), best, 0.0)))
+        d2 = d2.at[rows, j].set(jnp.inf)
+    return jnp.stack(ids, axis=1), jnp.stack(dists, axis=1)
+
+
 def find_closest_ips(
     layout: sh.HashGridLayout,
     table: jax.Array,
@@ -72,10 +86,11 @@ def find_closest_ips(
     x: jax.Array,                # [M, 3]
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """k nearest IPs among the 27-cell neighborhood of each x.
+    """Exact k nearest IPs among the 27-cell neighborhood of each x.
 
     Returns (ids [M, k] int32 with -1 for missing, dist [M, k]).
-    Iterative min-extraction — no sort (k <= 3).
+    Gathers the full neighborhood per sample — use only for modest M; the
+    render path uses the per-cell candidate cache below.
     """
     g = sh.cell_of(layout, x)
     cand = sh.gather_neighborhood(layout, table, g)            # [M, C]
@@ -83,17 +98,56 @@ def find_closest_ips(
     pc = p_def[jnp.clip(cand, 0, None)]                        # [M, C, 3]
     d2 = jnp.sum((pc - x[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(valid, d2, jnp.inf)
+    return _topk_smallest(cand, d2, k)
 
-    ids = []
-    dists = []
-    for _ in range(k):
-        j = jnp.argmin(d2, axis=1)                             # [M]
-        rows = jnp.arange(x.shape[0])
-        best = d2[rows, j]
-        ids.append(jnp.where(jnp.isfinite(best), cand[rows, j], -1))
-        dists.append(jnp.sqrt(jnp.where(jnp.isfinite(best), best, 0.0)))
-        d2 = d2.at[rows, j].set(jnp.inf)
-    return jnp.stack(ids, axis=1), jnp.stack(dists, axis=1)
+
+def build_cell_candidates(
+    layout: sh.HashGridLayout,
+    table: jax.Array,
+    p_def: jax.Array,            # [nIP, 3]
+    k_cand: int = 8,
+) -> jax.Array:
+    """Per-frame cache: the k_cand IPs nearest to each CELL CENTER, drawn
+    from the cell's 27-neighborhood. [n_cells, k_cand] int32, -1 padded.
+
+    Shrinks the per-sample k-NN from 27 * max_per_cell gathered candidates
+    (the reference kernel re-walks all 27 cells per sample,
+    raymarching.cu:986-1119) to k_cand cached ones. Approximation: a
+    sample's true nearest IP is assumed to be among the k_cand nearest to
+    its cell center — sound for k_cand >= ~8 given IP spacing ~ cell size.
+    """
+    r0, r1, r2 = layout.resolution
+    gz, gy, gx = jnp.meshgrid(
+        jnp.arange(r2), jnp.arange(r1), jnp.arange(r0), indexing="ij"
+    )
+    cells = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)  # [n_cells,3]
+    bbmin = jnp.asarray(layout.bbmin, jnp.float32)
+    centers = bbmin + (cells.astype(jnp.float32) + 0.5) * layout.hgs
+
+    cand = sh.gather_neighborhood(layout, table, cells)          # [n_cells, C]
+    valid = cand >= 0
+    pc = p_def[jnp.clip(cand, 0, None)]
+    d2 = jnp.sum((pc - centers[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    ids, _ = _topk_smallest(cand, d2, k_cand)
+    return ids
+
+
+def find_closest_ips_cached(
+    layout: sh.HashGridLayout,
+    cell_cand: jax.Array,        # [n_cells, k_cand]
+    p_def: jax.Array,            # [nIP, 3]
+    x: jax.Array,                # [M, 3]
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """k nearest IPs per sample using the per-cell candidate cache."""
+    cid = sh.cell_index(layout, sh.cell_of(layout, x))          # [M]
+    cand = cell_cand[cid]                                        # [M, kc]
+    valid = cand >= 0
+    pc = p_def[jnp.clip(cand, 0, None)]
+    d2 = jnp.sum((pc - x[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    return _topk_smallest(cand, d2, k)
 
 
 def newton_invert(
@@ -149,14 +203,19 @@ def bend_points(
     x: jax.Array,                # [M, 3] deformed-space samples
     bbmin: jax.Array,            # [3] deformed bbox (dynamic values)
     bbmax: jax.Array,            # [3]
+    cell_cand: Optional[jax.Array] = None,   # [n_cells, k_cand] cache
 ) -> Tuple[jax.Array, jax.Array]:
     """Map deformed samples to rest space. Returns (x_rest [M,3], found [M]).
 
     found=False means no usable IP: the caller treats the sample as empty
-    space (the reference skips it, raymarching.cu:1212-1254).
+    space (the reference skips it, raymarching.cu:1212-1254). Pass
+    cell_cand (from build_cell_candidates) to use the cached k-NN path.
     """
     k = settings.num_seek_ip
-    ids, dist = find_closest_ips(layout, table, p_def, x, k)   # [M, k]
+    if cell_cand is not None:
+        ids, dist = find_closest_ips_cached(layout, cell_cand, p_def, x, k)
+    else:
+        ids, dist = find_closest_ips(layout, table, p_def, x, k)  # [M, k]
     has = ids >= 0
     safe = jnp.clip(ids, 0, None)
 

@@ -42,6 +42,21 @@ class DeformedSettings(NamedTuple):
     bend: bend_ops.BendSettings
     layout: sh.HashGridLayout
     max_bend_samples: int = 128     # K_bend: lattice candidates bent per ray
+    k_cell_candidates: int = 8      # per-cell cached nearest IPs
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def prepare_frame(settings: "DeformedSettings", p_def: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Once-per-frame spatial structures over the deformed IPs.
+
+    Returns (cell_cand [n_cells, k_cand] nearest-IP cache,
+             near_obj [n_cells] dilated occupancy prefilter)."""
+    table, counts = sh.build_table(settings.layout, p_def)
+    cell_cand = bend_ops.build_cell_candidates(
+        settings.layout, table, p_def, settings.k_cell_candidates)
+    near_obj = sh.dilated_occupancy(settings.layout, counts)
+    return cell_cand, near_obj
 
 
 def _occupancy_at(bitfield, pts, bound, cascade):
@@ -69,6 +84,8 @@ def render_rays_deformed(
     rays_d: jax.Array,            # [N, 3]
     bg_color: jax.Array,
     cut_bounds: Optional[jax.Array] = None,   # [6] when bend.cut
+    cell_cand: Optional[jax.Array] = None,    # from prepare_frame
+    near_obj: Optional[jax.Array] = None,     # from prepare_frame
 ) -> Dict[str, jax.Array]:
     st = settings.base
     bd = settings.bend
@@ -85,10 +102,11 @@ def render_rays_deformed(
     aabb = jnp.concatenate([bbmin, bbmax])
     nears, fars = raymarch.near_far_from_aabb(rays_o, rays_d, aabb, st.min_near)
 
-    # --- per-frame spatial hash (reference rebuilds it each frame too,
-    #     renderer.py:819)
-    table, counts = sh.build_table(settings.layout, p_def)
-    near_obj = sh.dilated_occupancy(settings.layout, counts)   # [n_cells]
+    # --- per-frame spatial structures (reference rebuilds its hash each
+    #     frame too, renderer.py:819); callers rendering many ray chunks
+    #     pass precomputed ones from prepare_frame
+    if cell_cand is None or near_obj is None:
+        cell_cand, near_obj = prepare_frame(settings, p_def)
 
     # --- lattice march in deformed space
     t, dt, _ = raymarch.march_lattice(
@@ -129,11 +147,11 @@ def render_rays_deformed(
         xb, -st.bound, st.bound)
     bendable_c = bendable[rows, idx] & mask_b
 
-    # --- bend
+    # --- bend (cached k-NN path; `table` arg unused with a cache)
     x_flat = xb.reshape(n * kb, 3)
     x_rest, found = bend_ops.bend_points(
-        settings.layout, bd, table, p_def, p_ori, F, dF,
-        x_flat, bbmin, bbmax,
+        settings.layout, bd, None, p_def, p_ori, F, dF,
+        x_flat, bbmin, bbmax, cell_cand=cell_cand,
     )
     x_map = jnp.where(bendable_c.reshape(-1, 1), x_rest, x_flat)
     ok = jnp.where(bendable_c.reshape(-1), found, True)
@@ -177,16 +195,20 @@ def render_image_deformed(
     params, spec, settings: DeformedSettings, grid,
     p_def, p_ori, F, dF,
     pose: np.ndarray, intrinsics, H: int, W: int,
-    bg_color: float = 1.0, chunk: int = 65536,
+    bg_color: float = 1.0, chunk: int = 16384,
     cut_bounds=None,
 ) -> Dict[str, np.ndarray]:
-    """Full-frame deformed render, tiled in fixed-size ray chunks."""
+    """Full-frame deformed render, tiled in fixed-size ray chunks.
+
+    The spatial hash / candidate cache is built once for the frame and
+    shared by all chunks."""
     from pienerf_tpu.data.rays import get_rays_full
 
     rays_o, rays_d = get_rays_full(jnp.asarray(pose, jnp.float32),
                                    intrinsics, H, W)
     n = H * W
     chunk = min(chunk, max(256, 1 << (n - 1).bit_length()))
+    cell_cand, near_obj = prepare_frame(settings, p_def)
     imgs, deps, wss = [], [], []
     bg = jnp.asarray(bg_color, jnp.float32)
     for s in range(0, n, chunk):
@@ -197,7 +219,7 @@ def render_image_deformed(
             rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
         out = render_rays_deformed(
             params, spec, settings, grid.bitfield, p_def, p_ori, F, dF,
-            ro, rd, bg, cut_bounds,
+            ro, rd, bg, cut_bounds, cell_cand, near_obj,
         )
         take = chunk - pad
         imgs.append(np.asarray(out["image"][:take]))

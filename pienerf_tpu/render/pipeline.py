@@ -1,0 +1,86 @@
+"""Coupled sim + deformed-render frame pipeline — the interactive loop.
+
+The reference's per-frame path (reference: nerf/gui.py:556-645 ->
+nerf/trainer.py:284-329 -> solver.stepforward + renderer.rund_cuda) crosses
+torch <-> Warp <-> CUDA-extension boundaries several times per frame. Here
+the whole frame is ONE jitted function over device-resident state:
+
+    frame_step(sim_consts, sim_state, params, bitfield, rays, force)
+        -> (sim_state', image, depth)
+
+which the driver/GUI calls once per frame; sim state, IP data, the spatial
+hash, and the radiance field never leave HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pienerf_tpu.models import network
+from pienerf_tpu.render import deformed
+from pienerf_tpu.sim import solver as sim
+
+
+class FrameSettings(NamedTuple):
+    spec: network.NetworkSpec
+    deformed: deformed.DeformedSettings
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def frame_step(
+    settings: FrameSettings,
+    consts: sim.SimConstants,
+    state: sim.SimState,
+    params,
+    bitfield: jax.Array,
+    rays_o: jax.Array,            # [N, 3]
+    rays_d: jax.Array,            # [N, 3]
+    bg_color: jax.Array,
+    force_vid: jax.Array,         # [] int32; < 0 disables the force
+    force: jax.Array,             # [3]
+    cut_bounds: Optional[jax.Array] = None,
+) -> Tuple[sim.SimState, Dict[str, jax.Array]]:
+    """Advance the simulation one step and render the deformed field."""
+    # force application (reference solver.update_force / clear_force)
+    state_f = sim.update_force(consts, state, jnp.maximum(force_vid, 0), force)
+    dof_f = jnp.where(force_vid >= 0, state_f.dof_f,
+                      jnp.zeros_like(state.dof_f))
+    state = state._replace(dof_f=dof_f)
+
+    state = sim.sim_step(consts, state)
+    p_def, F, dF = sim.get_ip_info(consts, state)
+
+    out = deformed.render_rays_deformed(
+        params, settings.spec, settings.deformed, bitfield,
+        p_def, consts.ip_pos, F, dF,
+        rays_o, rays_d, bg_color, cut_bounds,
+    )
+    return state, out
+
+
+def make_frame_settings(spec, cfg, sim_dx: float) -> FrameSettings:
+    """Assemble static frame settings from the shared config."""
+    from pienerf_tpu.ops import bending as bend_ops
+    from pienerf_tpu.ops import spatial_hash as sh
+    from pienerf_tpu.render.renderer import RenderSettings
+
+    base = RenderSettings(
+        bound=cfg.bound, cascade=cfg.cascade, min_near=cfg.min_near,
+        dt_gamma=cfg.dt_gamma, max_steps=cfg.max_steps,
+        T_thresh=cfg.T_thresh, max_samples=cfg.train_max_samples * 2,
+        bg_radius=cfg.bg_radius,
+    )
+    layout = sh.make_layout(bound=cfg.bound, hgs=cfg.hash_grid_size,
+                            max_per_cell=cfg.bend_max_per_cell)
+    bend = bend_ops.BendSettings(
+        num_seek_ip=cfg.num_seek_IP, max_iter_num=cfg.max_iter_num,
+        ip_dx=1.05 * sim_dx, cut=cfg.cut,
+    )
+    dst = deformed.DeformedSettings(base=base, bend=bend, layout=layout,
+                                    max_bend_samples=4 * base.max_samples)
+    return FrameSettings(spec=spec, deformed=dst)

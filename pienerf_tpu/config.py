@@ -108,6 +108,9 @@ class PieNeRFConfig:
     bend_max_per_cell: int = 16
     # compute dtype for network matmuls: "float32" or "bfloat16"
     compute_dtype: str = "float32"
+    # field backbone: "hashgrid" (reference-compatible) or "mlp"
+    # (TPU-native gather-free flagship; see PERF.md)
+    backbone: str = "hashgrid"
 
     def finalize(self) -> "PieNeRFConfig":
         """Apply derived values and dataset presets (get_opts.py:96-120)."""

@@ -12,7 +12,15 @@ gridencoder/grid.py:97-134):
 - index % hashmap_size, where hashmap_size is the 8-aligned per-level size
 - inputs outside [0, 1] produce zeros
 
-The forward pass is one batched gather over [N, L, 8] corner indices plus a
+TPU layout note: every internal array keeps the BATCH dimension minormost
+([L, 8, N], [C, L, N], ...). TPU tiles the two minormost dims to (8, 128);
+a batch-major layout like [N, L, 8, 3] pads its tiny trailing dims to 128
+lanes and inflates HBM footprint ~16-40x (observed: a [1M, 16, 8, 3] corner
+intermediate compiled to a 24 GB allocation). Batch-last keeps every
+intermediate exact-size. Embedding channels are gathered separately from
+strided component views for the same reason.
+
+The forward pass is C batched gathers over [L, 8, N] corner indices plus a
 trilinear reduce — XLA fuses the interpolation and differentiates the gather
 into a deterministic scatter-add (the reference uses atomicAdd,
 gridencoder.cu:249-340, which is nondeterministic).
@@ -21,13 +29,15 @@ gridencoder.cu:249-340, which is nondeterministic).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861)
+
+Coords = Union[jax.Array, Tuple[jax.Array, ...]]
 
 
 class HashGridSpec(NamedTuple):
@@ -113,66 +123,144 @@ def _level_constants(spec: HashGridSpec):
     )
 
 
-def _corner_bits(d: int) -> np.ndarray:
-    return np.array(
-        [[(c >> i) & 1 for i in range(d)] for c in range(2**d)], np.int64
-    )
+def _axis_tables(spec: HashGridSpec):
+    """Per-(level, axis) index-contribution lookup tables.
+
+    The TPU VPU emulates u32 multiplies at ~2 G/s, so computing the hash
+    (coord * prime) or the dense stride (coord * (res+1)^a) per corner is a
+    bottleneck. Both are functions of a coordinate <= res+1, so we
+    precompute T[axis][level, coord] once (host) and replace the multiplies
+    with cheap gathers (~100+ G/s on TPU). Axis 0 needs no table: prime[0]
+    and the dense x-stride are both 1.
+
+    For hashed levels the modulo target is always the (power-of-two)
+    2^log2_hashmap_size, so `% hashmap` becomes an AND; for dense levels the
+    index is already in range (gridencoder.cu:67-86 semantics preserved).
+    """
+    S = math.log2(spec.per_level_scale)
+    H = spec.base_resolution
+    L = spec.num_levels
+    scales = np.exp2(np.arange(L) * S) * H - 1.0
+    res = (np.ceil(scales).astype(np.int64) + 1)
+    hashmap_sizes = np.diff(np.asarray(spec.offsets))
+    dense = (res + 1).astype(object) ** spec.input_dim <= hashmap_sizes
+
+    width = int(res.max()) + 2
+    coords = np.arange(width, dtype=np.uint64)
+    tables = []
+    for axis in range(1, spec.input_dim):
+        t = np.zeros((L, width), np.uint32)
+        for lvl in range(L):
+            if dense[lvl]:
+                stride = (res[lvl] + 1) ** axis
+                t[lvl] = (coords * np.uint64(stride)).astype(np.uint32)
+            else:
+                t[lvl] = (coords * np.uint64(_PRIMES[axis])).astype(np.uint32)
+        tables.append(t.reshape(-1))
+    # hash mask: 2^log2-1 for hashed levels; all-ones (no-op) for dense
+    mask = np.full(L, 0xFFFFFFFF, np.uint32)
+    for lvl in range(L):
+        if not dense[lvl]:
+            assert (hashmap_sizes[lvl] & (hashmap_sizes[lvl] - 1)) == 0, (
+                "hashed level size must be a power of two")
+            mask[lvl] = np.uint32(hashmap_sizes[lvl] - 1)
+    return ([jnp.asarray(t) for t in tables], jnp.asarray(mask), width)
 
 
-def encode(embeddings: jax.Array, spec: HashGridSpec, inputs: jax.Array,
-           bound: float = 1.0) -> jax.Array:
+def _components(inputs: Coords, d: int):
+    """Batch-component views of the input positions: d arrays of shape [N]."""
+    if isinstance(inputs, (tuple, list)):
+        assert len(inputs) == d
+        return [jnp.asarray(c, jnp.float32).reshape(-1) for c in inputs]
+    return [inputs[..., i].astype(jnp.float32).reshape(-1) for i in range(d)]
+
+
+def encode(embeddings: jax.Array, spec: HashGridSpec, inputs: Coords,
+           bound: float = 1.0, feature_major: bool = False) -> jax.Array:
     """Encode positions.
 
-    inputs: [N, D] in [-bound, bound]; returns [N, L * C] in the embeddings'
+    inputs: [N, D] in [-bound, bound] (or a tuple of D component arrays).
+    Returns [N, L * C] (or [L * C, N] when feature_major) in the embeddings'
     dtype. OOB inputs yield zeros (gridencoder.cu:113-135).
     """
     D = spec.input_dim
-    x = (inputs.astype(jnp.float32) + bound) / (2.0 * bound)   # [0, 1]
+    comps = _components(inputs, D)
+    comps = [(c + bound) / (2.0 * bound) for c in comps]        # [0, 1]
+    n = comps[0].shape[0]
 
     scales, res, hmap, offs, dense = _level_constants(spec)
     L = spec.num_levels
     C = spec.level_dim
 
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)              # [N]
+    oob = comps[0] < -1.0  # init false
+    for c in comps:
+        oob = oob | (c < 0.0) | (c > 1.0)                       # [N]
 
-    pos = x[:, None, :] * scales[None, :, None] + 0.5          # [N, L, D]
-    pos_grid = jnp.floor(pos)
-    frac = pos - pos_grid
-    if spec.interpolation == "smoothstep":
-        frac = frac * frac * (3.0 - 2.0 * frac)
-    pos_grid = pos_grid.astype(jnp.uint32)                     # [N, L, D]
+    # per-component lattice coords/fractions: [L, N]
+    pos_grid = []
+    frac = []
+    for c in comps:
+        p = c[None, :] * scales[:, None] + 0.5
+        pg = jnp.floor(p)
+        f = p - pg
+        if spec.interpolation == "smoothstep":
+            f = f * f * (3.0 - 2.0 * f)
+        pos_grid.append(pg.astype(jnp.uint32))
+        frac.append(f)
 
-    bits = jnp.asarray(_corner_bits(D), jnp.uint32)            # [8, D]
-    corners = pos_grid[:, :, None, :] + bits[None, None, :, :]  # [N, L, 8, D]
+    # corner indices [8, L, N]: per-axis contributions come from precomputed
+    # lookup tables (see _axis_tables) — no u32 multiplies, no array modulo
+    tables, mask, width = _axis_tables(spec)
+    corner_bits = [
+        [(corner >> dd) & 1 for dd in range(D)] for corner in range(2**D)
+    ]
+    lvl_base = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(width))[:, None]
 
-    # dense index: stride 1, (res+1), (res+1)^2 ...
-    side = (res + jnp.uint32(1))[None, :, None]                # [1, L, 1]
-    dense_idx = corners[..., 0]
-    stride = side
-    for d in range(1, D):
-        dense_idx = dense_idx + corners[..., d] * stride
-        stride = stride * side
+    # contributions T[axis][level, coord] and T[axis][level, coord+1]: [L, N]
+    contrib = [[pos_grid[0], pos_grid[0] + jnp.uint32(1)]]      # axis 0: identity
+    for dd in range(1, D):
+        flat = (lvl_base + pos_grid[dd]).astype(jnp.int32)
+        t0 = tables[dd - 1][flat]
+        t1 = tables[dd - 1][(flat + 1)]
+        contrib.append([t0, t1])
 
-    # hash index: xor of coordinate * prime (uint32 wraparound)
-    hash_idx = corners[..., 0] * jnp.uint32(_PRIMES[0])
-    for d in range(1, D):
-        hash_idx = hash_idx ^ (corners[..., d] * jnp.uint32(_PRIMES[d]))
+    combined = []
+    for corner in range(2**D):
+        c0 = contrib[0][corner_bits[corner][0]]
+        acc_dense = c0
+        acc_hash = c0
+        for dd in range(1, D):
+            cdd = contrib[dd][corner_bits[corner][dd]]
+            acc_dense = acc_dense + cdd
+            acc_hash = acc_hash ^ cdd
+        ci = jnp.where(dense[:, None], acc_dense,
+                       acc_hash & mask[:, None])
+        combined.append(ci[None])
+    idx = jnp.concatenate(combined, axis=0)                     # [8, L, N]
+    idx = (idx + offs[None, :, None]).astype(jnp.int32)
 
-    idx = jnp.where(dense[None, :, None], dense_idx, hash_idx)
-    idx = idx % hmap[None, :, None] + offs[None, :, None]      # [N, L, 8]
+    # corner weights [8, L, N]
+    w = []
+    for corner in range(2**D):
+        wc = jnp.ones((L, n), embeddings.dtype)
+        for dd in range(D):
+            f = frac[dd].astype(embeddings.dtype)
+            wc = wc * (f if corner_bits[corner][dd] else (1.0 - f))
+        w.append(wc[None])
+    w = jnp.concatenate(w, axis=0)
 
-    feats = embeddings[idx.astype(jnp.int32)]                  # [N, L, 8, C]
-
-    w = jnp.ones(frac.shape[:2] + (2**D,), feats.dtype)        # [N, L, 8]
-    fr = frac.astype(feats.dtype)
-    for d in range(D):
-        wd = jnp.where(bits[None, None, :, d] == 1, fr[:, :, None, d],
-                       1.0 - fr[:, :, None, d])
-        w = w * wd
-
-    out = jnp.sum(w[..., None] * feats, axis=2)                # [N, L, C]
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    return out.reshape(inputs.shape[0], L * C)
+    # per-channel gathers keep every array batch-minormost
+    outs = []
+    for ch in range(C):
+        e = embeddings[:, ch]                                   # [total]
+        feats = e[idx]                                          # [8, L, N]
+        outs.append(jnp.sum(w * feats, axis=0))                 # [L, N]
+    out = jnp.stack(outs, axis=1)                               # [L, C, N]
+    out = jnp.where(oob[None, None, :], 0.0, out)
+    out = out.reshape(L * C, n)
+    if feature_major:
+        return out
+    return out.T
 
 
 # ---------------------------------------------------------------------------

@@ -26,11 +26,16 @@ C4 = (2.5033429417967046, 1.7701307697799304, 0.94617469575756008,
       0.62583573544917614)
 
 
-def sh_encode(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
-    """dirs: [..., 3] unit vectors in [-1, 1]; returns [..., degree**2]."""
+def sh_encode(dirs, degree: int = 4, feature_major: bool = False) -> jnp.ndarray:
+    """dirs: [..., 3] unit vectors in [-1, 1] (or a tuple of 3 component
+    arrays); returns [..., degree**2], or [degree**2, ...] when
+    feature_major (batch-minormost for TPU tiling)."""
     if not 1 <= degree <= 4:
         raise NotImplementedError(f"SH degree {degree} not supported (1..4)")
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    if isinstance(dirs, (tuple, list)):
+        x, y, z = dirs
+    else:
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     xy, xz, yz = x * y, x * z, y * z
     x2, y2, z2 = x * x, y * y, z * z
     one = jnp.ones_like(x)
@@ -57,7 +62,7 @@ def sh_encode(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
             C3[4] * z * (x2 - y2),
             C3[0] * x * (-x2 + 3.0 * y2),
         ]
-    return jnp.stack(out, axis=-1)
+    return jnp.stack(out, axis=0 if feature_major else -1)
 
 
 def sh_encode_deg5plus_stub(*args, **kwargs):  # pragma: no cover

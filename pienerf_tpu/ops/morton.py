@@ -16,11 +16,15 @@ def _u32(x):
 
 
 def _expand_bits(v):
-    """Spread the low 10 bits of v so there are two zero bits between each."""
-    v = (v * _u32(0x00010001)) & _u32(0xFF0000FF)
-    v = (v * _u32(0x00000101)) & _u32(0x0F00F00F)
-    v = (v * _u32(0x00000011)) & _u32(0xC30C30C3)
-    v = (v * _u32(0x00000005)) & _u32(0x49249249)
+    """Spread the low 10 bits of v so there are two zero bits between each.
+
+    Shift/or/and only — the multiply-based variant the reference uses
+    (raymarching.cu:56-63) hits the TPU VPU's slow emulated u32 multiply
+    (~2 G/s); shifts run at full vector rate."""
+    v = (v | (v << _u32(16))) & _u32(0xFF0000FF)
+    v = (v | (v << _u32(8))) & _u32(0x0F00F00F)
+    v = (v | (v << _u32(4))) & _u32(0xC30C30C3)
+    v = (v | (v << _u32(2))) & _u32(0x49249249)
     return v
 
 

@@ -111,6 +111,31 @@ def mip_level(x: jax.Array, dt: jax.Array, cascade: int) -> jax.Array:
     return jnp.minimum(lvl, cascade - 1).astype(jnp.int32)
 
 
+def mip_level_c(x0, x1, x2, dt: jax.Array, cascade: int) -> jax.Array:
+    """Componentwise mip_level (keeps batch dims minormost — no [..., 3])."""
+    mx = jnp.maximum(jnp.abs(x0), jnp.maximum(jnp.abs(x1), jnp.abs(x2)))
+    _, e_pos = jnp.frexp(mx)
+    _, e_dt = jnp.frexp(dt * GRID_SIZE * 0.5)
+    lvl = jnp.maximum(jnp.maximum(e_pos, e_dt), 0)
+    return jnp.minimum(lvl, cascade - 1).astype(jnp.int32)
+
+
+def occupancy_at_c(bitfield, x0, x1, x2, dt, bound: float, cascade: int):
+    """Occupancy bit at componentwise world positions (any batch shape)."""
+    lvl = mip_level_c(x0, x1, x2, dt, cascade)
+    mip_bound = jnp.minimum(jnp.exp2(lvl.astype(jnp.float32)), bound)
+    inv = 1.0 / mip_bound
+
+    def cellc(c):
+        return jnp.clip(0.5 * (c * inv + 1.0) * GRID_SIZE, 0,
+                        GRID_SIZE - 1).astype(jnp.int32)
+
+    from pienerf_tpu.ops.grid import occupied
+    from pienerf_tpu.ops.morton import morton3d
+    code = morton3d(cellc(x0), cellc(x1), cellc(x2))
+    return occupied(bitfield, lvl, code)
+
+
 def march_lattice(
     rays_o: jax.Array,          # [N, 3]
     rays_d: jax.Array,          # [N, 3]
@@ -137,16 +162,10 @@ def march_lattice(
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
     t, dt = t_lattice(t0, n_steps, dt_gamma, dt_min, dt_max)
 
-    x = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
-    x = jnp.clip(x, -bound, bound)
-
-    lvl = mip_level(x, dt, cascade)                      # [N, S]
-    mip_bound = jnp.minimum(jnp.exp2(lvl.astype(jnp.float32)), bound)
-    cell = jnp.clip(
-        0.5 * (x / mip_bound[..., None] + 1.0) * GRID_SIZE, 0, GRID_SIZE - 1
-    ).astype(jnp.int32)
-    code = morton3d(cell[..., 0], cell[..., 1], cell[..., 2])
-    occ = occupied(bitfield, lvl, code)
+    # componentwise positions (batch dims minormost — see hash_encoder doc)
+    xc = [jnp.clip(rays_o[:, i, None] + t * rays_d[:, i, None],
+                   -bound, bound) for i in range(3)]
+    occ = occupancy_at_c(bitfield, xc[0], xc[1], xc[2], dt, bound, cascade)
 
     valid = occ & (t < fars[:, None])
     return t, dt, valid

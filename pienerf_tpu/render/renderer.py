@@ -80,15 +80,18 @@ def render_rays(
     rows = jnp.arange(n)[:, None]
     ts = t[rows, idx]                                   # [N, K]
     dts = dt[rows, idx]
-    xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    xs = jnp.clip(xs, -st.bound, st.bound)
-
     k = st.max_samples
-    sigmas, rgbs = network.forward(
-        params, spec,
-        xs.reshape(n * k, 3),
-        jnp.broadcast_to(rays_d[:, None, :], (n, k, 3)).reshape(n * k, 3),
+
+    # componentwise sample positions / dirs (batch-minormost, flattened)
+    xs = tuple(
+        jnp.clip(rays_o[:, i, None] + ts * rays_d[:, i, None],
+                 -st.bound, st.bound).reshape(n * k) for i in range(3)
     )
+    ds = tuple(
+        jnp.broadcast_to(rays_d[:, i, None], (n, k)).reshape(n * k)
+        for i in range(3)
+    )
+    sigmas, rgbs = network.forward(params, spec, xs, ds)
     sigmas = (sigmas * st.density_scale).reshape(n, k)
     rgbs = rgbs.reshape(n, k, 3)
 

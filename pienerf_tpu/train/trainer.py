@@ -117,7 +117,7 @@ class Trainer:
 
         self.spec = spec or network.make_spec(
             bound=cfg.bound, bg_radius=cfg.bg_radius,
-            compute_dtype=cfg.compute_dtype,
+            compute_dtype=cfg.compute_dtype, backbone=cfg.backbone,
         )
         self.settings = renderer.RenderSettings(
             bound=cfg.bound, cascade=cfg.cascade, min_near=cfg.min_near,

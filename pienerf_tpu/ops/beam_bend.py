@@ -1,0 +1,250 @@
+"""Tile-beam quadratic bending — gather-free inner loop.
+
+The cached spatial-hash bending (ops/bending.py) costs ~12 random-memory
+touches per sample; at the measured 0.1 G touches/s (PERF.md) that is
+seconds per frame. This module restructures the candidate search around
+image tiles:
+
+1. per (tile, frame): IPs intersecting the tile's view beam are compacted
+   into a fixed candidate set (ONE row-gather of ~192 packed rows per tile,
+   amortized over ~16k samples),
+2. candidates are scattered into depth bins aligned with the tile's uniform
+   sample grid, so every sample's candidate set is a STATIC slice of three
+   adjacent bins — zero per-sample gathers,
+3. nearest-IP selection and data fetch run as argmin passes + one-hot
+   einsum contractions (MXU), and the Newton inversion (see ops/bending.py
+   for the math/conventions) runs on [..., T2, K]-shaped component arrays
+   (batch dims minormost).
+
+IP data is packed per frame as rows of 42 floats:
+    [p_def(3), p_ori(3), F(9, row-major d*3+c), dF(27, j*9+d*3+c)]
+padded to 48.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+PACK = 48
+
+
+def pack_ip_data(p_def: jax.Array, p_ori: jax.Array, F: jax.Array,
+                 dF: jax.Array) -> jax.Array:
+    """[nIP, 48] packed rows (see module doc)."""
+    n = p_def.shape[0]
+    flat = jnp.concatenate([
+        p_def, p_ori,
+        F.reshape(n, 9),
+        dF.reshape(n, 27),
+        jnp.ones((n, 1), p_def.dtype),        # slot 42: validity flag
+        jnp.zeros((n, PACK - 43), p_def.dtype),
+    ], axis=1)
+    return flat
+
+
+class BeamBendSettings(NamedTuple):
+    num_seek_ip: int = 3
+    max_iter_num: int = 1
+    ip_dx: float = 0.0525
+    ips_per_tile: int = 192       # P: beam candidate capacity
+    bin_capacity: int = 8         # B: IPs per depth bin
+    beam_margin: float = 0.08     # world-space slack around the beam
+
+
+def select_tile_candidates(
+    settings: BeamBendSettings,
+    ip_pack: jax.Array,          # [nIP, 48]
+    p_def: jax.Array,            # [nIP, 3]
+    origin: jax.Array,           # [C, 3] tile beam origins (camera)
+    axis: jax.Array,             # [C, 3] central ray directions (unit)
+    tan_half: jax.Array,         # [C] beam half-width growth per unit depth
+    t0: jax.Array,               # [C] tile near
+    t1: jax.Array,               # [C] tile far
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-tile candidate compaction.
+
+    Returns (cand_pack [C, P, 48], proj [C, P] depth along axis,
+    mask [C, P]).
+    """
+    P = settings.ips_per_tile
+    rel = p_def[None, :, :] - origin[:, None, :]               # [C, nIP, 3]
+    proj = jnp.einsum("cnd,cd->cn", rel, axis)                 # [C, nIP]
+    lat2 = jnp.sum(rel * rel, axis=-1) - proj * proj
+    radius = tan_half[:, None] * jnp.clip(proj, 0.0, None) + settings.beam_margin
+    ok = (
+        (lat2 <= radius * radius)
+        & (proj >= t0[:, None] - settings.beam_margin)
+        & (proj <= t1[:, None] + settings.beam_margin)
+    )                                                           # [C, nIP]
+
+    # rank-compact up to P candidate ids per tile
+    rank = jnp.cumsum(ok, axis=1) - 1
+    take = ok & (rank < P)
+    c_rows = jnp.broadcast_to(jnp.arange(ok.shape[0])[:, None], ok.shape)
+    src = jnp.broadcast_to(jnp.arange(ok.shape[1], dtype=jnp.int32)[None],
+                           ok.shape)
+    ids = jnp.zeros((ok.shape[0], P), jnp.int32)
+    ids = ids.at[c_rows, jnp.where(take, rank, P)].set(
+        jnp.where(take, src, 0), mode="drop")
+    count = jnp.sum(take, axis=1)
+    mask = jnp.arange(P)[None, :] < count[:, None]
+
+    cand_pack = ip_pack[ids]                                    # [C, P, 48]
+    cand_proj = jnp.einsum("cpd,cd->cp", cand_pack[..., :3] - origin[:, None, :],
+                           axis)
+    return cand_pack, cand_proj, mask
+
+
+def bin_candidates(
+    settings: BeamBendSettings,
+    cand_pack: jax.Array,        # [C, P, 48]
+    cand_proj: jax.Array,        # [C, P]
+    mask: jax.Array,             # [C, P]
+    t0: jax.Array,               # [C]
+    dt_bin: jax.Array,           # [C] bin width ((t1-t0)/K)
+    n_bins: int,                 # K + 2 (halo bins at each end)
+) -> jax.Array:
+    """Scatter candidates into depth bins. Returns [C, n_bins, B, 48]
+    (zero rows where empty; p_def rows of empties stay at 0 which is
+    rejected later by the distance test)."""
+    B = settings.bin_capacity
+    C, P = cand_proj.shape
+    b = jnp.clip(jnp.floor((cand_proj - t0[:, None]) / dt_bin[:, None]).astype(
+        jnp.int32) + 1, 0, n_bins - 1)                          # halo offset
+    b = jnp.where(mask, b, n_bins)                              # dropped
+
+    # rank within (tile, bin): sort by bin then positional scan
+    order = jnp.argsort(b, axis=1)
+    b_sorted = jnp.take_along_axis(b, order, axis=1)
+    pos = jnp.broadcast_to(jnp.arange(P)[None], (C, P))
+    changed = jnp.concatenate(
+        [jnp.ones((C, 1), bool), b_sorted[:, 1:] != b_sorted[:, :-1]], axis=1)
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(changed, pos, 0), axis=1)
+    rank = pos - start
+
+    rows = jnp.broadcast_to(jnp.arange(C)[:, None], (C, P))
+    keep = (b_sorted < n_bins) & (rank < B)
+    slot = jnp.where(keep, b_sorted * B + rank, n_bins * B)
+    src_pack = jnp.take_along_axis(cand_pack, order[..., None], axis=1)
+    bins = jnp.zeros((C, n_bins * B, PACK), cand_pack.dtype)
+    bins = bins.at[rows, slot].set(
+        jnp.where(keep[..., None], src_pack, 0.0), mode="drop")
+    return bins.reshape(C, n_bins, B, PACK)
+
+
+def _inv3x3_c(m):
+    """Closed-form inverse of 3x3 given as tuple-of-rows-of-components
+    [(m00, m01, m02), ...] with each entry an array. Returns (inv, ok)."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    A = e * i - f * h
+    B = f * g - d * i
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    ok = jnp.abs(det) > 1e-20
+    r = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    inv = (
+        (r * A, r * (c * h - b * i), r * (b * f - c * e)),
+        (r * B, r * (a * i - c * g), r * (c * d - a * f)),
+        (r * Cc, r * (b * g - a * h), r * (a * e - b * d)),
+    )
+    return inv, ok
+
+
+def newton_invert_packed(x, sel, max_iter: int):
+    """Newton rest-space solve on one-hot-selected candidate data.
+
+    x: tuple of 3 arrays [...]; sel: [42+, ...] packed candidate data with
+    the PACK axis FIRST (batch dims minormost). Returns (p_rest tuple of 3,
+    moved_ok-independent raw solve; callers apply the ip_dx test).
+    """
+    pd = sel[0:3]
+    po = sel[3:6]
+    Fm = tuple(tuple(sel[6 + r * 3 + c] for c in range(3)) for r in range(3))
+    dFm = tuple(
+        tuple(tuple(sel[15 + j * 9 + r * 3 + c] for c in range(3))
+              for r in range(3))
+        for j in range(3))
+
+    qt = tuple(x[i] - pd[i] for i in range(3))                 # target
+    q = tuple(jnp.zeros_like(qt[0]) for _ in range(3))
+
+    for _ in range(max_iter):
+        # dFq[d][c] = sum_j dF[j][d][c] q[j]
+        dFq = tuple(
+            tuple(sum(dFm[j][d][c] * q[j] for j in range(3)) for c in range(3))
+            for d in range(3))
+        J = tuple(
+            tuple(Fm[d][c] + dFq[d][c] for c in range(3)) for d in range(3))
+        Jinv, ok = _inv3x3_c(J)
+        # residual r = F q + 0.5 dFq q - qt
+        Fq = tuple(sum(Fm[d][c] * q[c] for c in range(3)) for d in range(3))
+        dFqq = tuple(sum(dFq[d][c] * q[c] for c in range(3)) for d in range(3))
+        res = tuple(Fq[d] + 0.5 * dFqq[d] - qt[d] for d in range(3))
+        dq = tuple(sum(Jinv[d][c] * res[c] for c in range(3)) for d in range(3))
+        q = tuple(jnp.where(ok, q[d] - dq[d], q[d]) for d in range(3))
+
+    return tuple(po[d] + q[d] for d in range(3))
+
+
+def bend_tile_samples(
+    settings: BeamBendSettings,
+    bins: jax.Array,             # [C, n_bins, B, 48]
+    x: Tuple[jax.Array, jax.Array, jax.Array],   # each [C, T2, K]
+    sample_bin: None = None,     # samples are bin-aligned: sample k -> bin k+1
+) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Bend tile samples. Sample at depth index k sees candidate bins
+    k, k+1, k+2 (i.e. its own bin plus halo neighbors).
+
+    Returns (mapped positions (3 x [C, T2, K]), found [C, T2, K])."""
+    C, n_bins, B, _ = bins.shape
+    K = n_bins - 2
+    T2 = x[0].shape[1]
+    kseek = settings.num_seek_ip
+
+    # candidate window per depth index: [C, K, 3B, 48]
+    win = jnp.concatenate(
+        [bins[:, 0:K], bins[:, 1:K + 1], bins[:, 2:K + 2]], axis=2)
+
+    # distances: [C, T2, K, 3B]
+    d2 = None
+    for i in range(3):
+        pc = win[..., i]                                        # [C, K, 3B]
+        diff = x[i][:, :, :, None] - pc[:, None, :, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    # empty slots carry validity flag 0 (pack_ip_data slot 42)
+    empty = win[..., 42] == 0.0                                  # [C, K, 3B]
+    d2 = jnp.where(empty[:, None, :, :], jnp.inf, d2)
+
+    mapped = [jnp.zeros_like(x[i]) for i in range(3)]
+    wsum = jnp.zeros_like(x[0])
+    d2_work = d2
+    for _ in range(kseek):
+        j = jnp.argmin(d2_work, axis=-1)                        # [C, T2, K]
+        best = jnp.min(d2_work, axis=-1)
+        has = jnp.isfinite(best)
+        onehot = jax.nn.one_hot(j, 3 * B, dtype=bins.dtype)     # [C,T2,K,3B]
+        onehot = onehot * has[..., None]
+        # fetch candidate rows: [42, C, T2, K]
+        sel = jnp.einsum("ctks,cksp->pctk", onehot, win)
+        p_rest = newton_invert_packed(
+            tuple(x[i] for i in range(3)), sel, settings.max_iter_num)
+        # reject diverged solutions (> ip_dx per axis from the rest IP)
+        ok = has
+        for i in range(3):
+            ok = ok & (jnp.abs(p_rest[i] - sel[3 + i]) <= settings.ip_dx)
+        w = jnp.where(ok, 1.0 / jnp.maximum(jnp.sqrt(best), 1e-8), 0.0)
+        for i in range(3):
+            mapped[i] = mapped[i] + w * p_rest[i]
+        wsum = wsum + w
+        d2_work = jnp.where(
+            jax.nn.one_hot(j, 3 * B, dtype=bool), jnp.inf, d2_work)
+
+    found = wsum > 0
+    inv = 1.0 / jnp.maximum(wsum, 1e-30)
+    out = tuple(jnp.where(found, mapped[i] * inv, x[i]) for i in range(3))
+    return out, found

@@ -132,7 +132,6 @@ def _make_kernel(spec: network.NetworkSpec, n_sigma: int, n_color: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "block_n"))
 def field_eval(packed_w: jax.Array, spec: network.NetworkSpec,
                x: Tuple[jax.Array, jax.Array, jax.Array],
                d: Tuple[jax.Array, jax.Array, jax.Array],
@@ -140,8 +139,15 @@ def field_eval(packed_w: jax.Array, spec: network.NetworkSpec,
     """Evaluate the fused field at N points.
 
     x, d: tuples of component arrays [N]. Returns (sigma [N], rgb [3, N]).
-    N must be a multiple of block_n (callers pad).
+    N must be a multiple of block_n (callers pad). Falls back to Pallas
+    interpret mode off-TPU (tests run on CPU).
     """
+    interpret = jax.default_backend() == "cpu"
+    return _field_eval(packed_w, spec, x, d, block_n, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "block_n", "interpret"))
+def _field_eval(packed_w, spec, x, d, block_n, interpret):
     n = x[0].shape[0]
     assert n % block_n == 0, f"N={n} not a multiple of {block_n}"
     n_sigma = len_sigma = spec.num_layers
@@ -167,5 +173,6 @@ def field_eval(packed_w: jax.Array, spec: network.NetworkSpec,
         out_specs=pl.BlockSpec((4, block_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        interpret=interpret,
     )(xs, ds, packed_w)
     return out[0], out[1:4]

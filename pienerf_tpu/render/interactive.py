@@ -1,0 +1,236 @@
+"""Interactive frame rendering — the TPU flagship path.
+
+One jitted function renders a full coupled frame:
+
+  tile the image (16x16) -> tile activity vs the deformed bbox ->
+  compact active tiles (ray data recomputed arithmetically from tile ids —
+  no gathers) -> per-tile beam candidates + depth bins (ops/beam_bend) ->
+  tile-uniform stratified samples -> gather-free bending -> fused Pallas
+  field evaluation -> masked composite -> scatter tiles into the frame.
+
+Design constraints this satisfies (PERF.md): zero per-sample random memory
+access; all bulk math on MXU/VPU with batch dims minormost; static shapes
+throughout (one compile per camera resolution + scene).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pienerf_tpu.models import network
+from pienerf_tpu.ops import beam_bend
+from pienerf_tpu.ops.pallas import field_kernel
+
+
+class InteractiveSettings(NamedTuple):
+    spec: network.NetworkSpec
+    bend: beam_bend.BeamBendSettings
+    tile: int = 16                 # tile side, pixels
+    samples: int = 64              # K depth samples per ray (tile-uniform)
+    active_frac: float = 0.5       # static capacity of active tiles
+    tile_chunk: int = 32           # tiles processed per lax.map step
+    min_near: float = 0.05
+    density_scale: float = 1.0
+    T_thresh: float = 1e-2
+    deformed: bool = True
+
+
+def _tile_rays(tids, settings, H, W, pose, intrinsics):
+    """Componentwise rays for tiles tids [C]: returns o [3], d (3 x [C, T2]).
+
+    Pure arithmetic from the tile id — active-tile compaction needs no ray
+    gathers."""
+    ts = settings.tile
+    fx, fy, cx, cy = intrinsics
+    tiles_x = W // ts
+    ty = tids // tiles_x
+    tx = tids % tiles_x
+    j = jnp.arange(ts * ts, dtype=jnp.int32)
+    py = (ty[:, None] * ts + j[None, :] // ts).astype(jnp.float32) + 0.5
+    px = (tx[:, None] * ts + j[None, :] % ts).astype(jnp.float32) + 0.5
+    dx = (px - cx) / fx
+    dy = (py - cy) / fy
+    dz = jnp.ones_like(dx)
+    nrm = jnp.sqrt(dx * dx + dy * dy + 1.0)
+    cam = (dx / nrm, dy / nrm, dz / nrm)
+    R = pose[:3, :3]
+    d = tuple(R[i, 0] * cam[0] + R[i, 1] * cam[1] + R[i, 2] * cam[2]
+              for i in range(3))
+    o = pose[:3, 3]
+    return o, d
+
+
+def _near_far(o, d, bbmin, bbmax, min_near):
+    """Componentwise slab test; misses -> (BIG, BIG)."""
+    BIG = jnp.float32(3.4e38)
+    near = None
+    far = None
+    for i in range(3):
+        inv = 1.0 / d[i]
+        ta = (bbmin[i] - o[i]) * inv
+        tb = (bbmax[i] - o[i]) * inv
+        lo = jnp.minimum(ta, tb)
+        hi = jnp.maximum(ta, tb)
+        near = lo if near is None else jnp.maximum(near, lo)
+        far = hi if far is None else jnp.minimum(far, hi)
+    miss = near > far
+    near = jnp.maximum(near, min_near)
+    return jnp.where(miss, BIG, near), jnp.where(miss, BIG, far)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "H", "W", "intrinsics"),
+)
+def render_frame(
+    settings: InteractiveSettings,
+    packed_w: jax.Array,
+    ip_pack: jax.Array,            # [nIP, 48] (beam_bend.pack_ip_data)
+    p_def: jax.Array,              # [nIP, 3]
+    pose: jax.Array,               # [4, 4]
+    intrinsics: Tuple[float, float, float, float],
+    H: int,
+    W: int,
+    bg_color: jax.Array,
+) -> Dict[str, jax.Array]:
+    st = settings
+    ts = st.tile
+    assert H % ts == 0 and W % ts == 0
+    n_tiles = (H // ts) * (W // ts)
+    T2 = ts * ts
+    K = st.samples
+    a_cap = int(n_tiles * st.active_frac)
+    a_cap = max(st.tile_chunk, (a_cap // st.tile_chunk) * st.tile_chunk)
+
+    marg = 1e-3
+    bbmin = jnp.min(p_def, axis=0) - marg
+    bbmax = jnp.max(p_def, axis=0) + marg
+
+    # --- tile activity via the tile's corner rays only (cheap proxy:
+    #     test all rays of every tile is fine too; T2 per tile is small)
+    all_tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
+    near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
+    hit_tile = jnp.any(near_all < 1e30, axis=1)                # [n_tiles]
+
+    rank = jnp.cumsum(hit_tile) - 1
+    take = hit_tile & (rank < a_cap)
+    act_ids = jnp.zeros((a_cap,), jnp.int32)
+    act_ids = act_ids.at[jnp.where(take, rank, a_cap)].set(
+        jnp.where(take, all_tids, 0), mode="drop")
+    act_n = jnp.sum(take)
+    act_mask = jnp.arange(a_cap) < act_n                       # [a_cap]
+
+    # --- per-chunk processing
+    n_chunks = a_cap // st.tile_chunk
+    chunk_ids = act_ids.reshape(n_chunks, st.tile_chunk)
+    chunk_mask = act_mask.reshape(n_chunks, st.tile_chunk)
+
+    fx = intrinsics[0]
+    tan_half = jnp.float32(ts * 0.75 / fx)    # beam half-width growth
+
+    def process(chunk):
+        tids, cmask = chunk
+        C = st.tile_chunk
+        o_, d = _tile_rays(tids, st, H, W, pose, intrinsics)
+        near, far = _near_far(o_, d, bbmin, bbmax, st.min_near)
+        thit = near < 1e30
+        t0 = jnp.min(jnp.where(thit, near, jnp.inf), axis=1)
+        t1 = jnp.max(jnp.where(thit, far, -jnp.inf), axis=1)
+        any_hit = jnp.isfinite(t0) & cmask
+        t0 = jnp.where(any_hit, t0, 1.0)
+        t1 = jnp.where(any_hit, jnp.maximum(t1, t0 + 1e-3), 1.001)
+
+        # central axis = mean ray dir (normalized)
+        ax = tuple(jnp.mean(d[i], axis=1) for i in range(3))
+        an = jnp.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
+        axis = jnp.stack([ax[i] / an for i in range(3)], axis=1)  # [C, 3]
+        origin = jnp.broadcast_to(o_, (C, 3))
+
+        if st.deformed:
+            cand, proj, m = beam_bend.select_tile_candidates(
+                st.bend, ip_pack, p_def, origin, axis,
+                jnp.broadcast_to(tan_half, (C,)), t0, t1)
+            dt_bin = (t1 - t0) / K
+            bins = beam_bend.bin_candidates(st.bend, cand, proj, m, t0,
+                                            dt_bin, K + 2)
+
+        # tile-uniform stratified depth grid (deterministic centers)
+        kk = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+        t = t0[:, None] + (t1 - t0)[:, None] * kk[None, :]     # [C, K]
+        dt = ((t1 - t0) / K)[:, None]                          # [C, 1]
+
+        xs = tuple(
+            o_[i] + t[:, None, :] * d[i][:, :, None] for i in range(3)
+        )                                                       # [C, T2, K]
+
+        if st.deformed:
+            xm, found = beam_bend.bend_tile_samples(st.bend, bins, xs)
+        else:
+            xm, found = xs, jnp.ones(xs[0].shape, bool)
+
+        # per-ray validity: sample must be inside this ray's [near, far]
+        valid = found & (t[:, None, :] >= near[..., None]) \
+            & (t[:, None, :] <= far[..., None]) & thit[..., None]
+
+        flat = tuple(c.reshape(C * T2 * K) for c in xm)
+        ds = tuple(jnp.broadcast_to(d[i][:, :, None],
+                                    (C, T2, K)).reshape(-1) for i in range(3))
+        sigma, rgb = field_kernel.field_eval(packed_w, st.spec, flat, ds,
+                                             block_n=8192)
+        sigma = (sigma * st.density_scale).reshape(C, T2, K)
+        sigma = jnp.where(valid, sigma, 0.0)
+        rgb = rgb.reshape(3, C, T2, K)
+
+        # composite along K (batch-minormost: work on [C, T2, K])
+        tau = sigma * dt[:, None, :]
+        cum = jnp.cumsum(tau, axis=-1)
+        T_excl = jnp.exp(-(cum - tau))
+        alpha = 1.0 - jnp.exp(-tau)
+        T_prev = jnp.concatenate(
+            [jnp.ones_like(cum[..., :1]), jnp.exp(-cum[..., :-1])], axis=-1)
+        include = T_prev >= st.T_thresh
+        w = jnp.where(include, alpha * T_excl, 0.0)
+
+        ws = jnp.sum(w, axis=-1)                               # [C, T2]
+        depth = jnp.sum(w * t[:, None, :], axis=-1)
+        img = jnp.stack([jnp.sum(w * rgb[i], axis=-1) for i in range(3)],
+                        axis=-1)                               # [C, T2, 3]
+        return img, depth, ws
+
+    imgs, depths, wss = jax.lax.map(process, (chunk_ids, chunk_mask))
+    imgs = imgs.reshape(a_cap, T2, 3)
+    depths = depths.reshape(a_cap, T2)
+    wss = wss.reshape(a_cap, T2)
+
+    # --- scatter active tiles into the frame
+    bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (3,))
+    frame = jnp.zeros((n_tiles, T2, 3), jnp.float32) + bg
+    fdepth = jnp.zeros((n_tiles, T2), jnp.float32)
+    fws = jnp.zeros((n_tiles, T2), jnp.float32)
+
+    imgs = imgs + (1.0 - wss)[..., None] * bg
+    safe_ids = jnp.where(act_mask, act_ids, n_tiles)
+    frame = frame.at[safe_ids].set(imgs, mode="drop")
+    fdepth = fdepth.at[safe_ids].set(depths, mode="drop")
+    fws = fws.at[safe_ids].set(wss, mode="drop")
+
+    return {"tiles_image": frame, "tiles_depth": fdepth, "tiles_ws": fws,
+            "n_active": act_n}
+
+
+def tiles_to_image(tiles: np.ndarray, H: int, W: int, ts: int = 16
+                   ) -> np.ndarray:
+    """[n_tiles, ts*ts, C] -> [H, W, C]."""
+    tiles = np.asarray(tiles)
+    c = tiles.shape[-1] if tiles.ndim == 3 else 1
+    tw = W // ts
+    th = H // ts
+    out = tiles.reshape(th, tw, ts, ts, -1).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(H, W, -1)
+    return out if c > 1 else out[..., 0]

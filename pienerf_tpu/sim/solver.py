@@ -40,6 +40,7 @@ import numpy as np
 
 from pienerf_tpu.io.ply import read_physics_ply, write_ply
 from pienerf_tpu.sim import gmls
+from pienerf_tpu.sim.svd3 import svd3x3
 
 
 class SimConstants(NamedTuple):
@@ -340,8 +341,8 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     contracted with dNx. Exactly zero at rest (cuda_utils.py:83-151, delta
     form — see module doc)."""
     F = deformation_gradients(consts, ddof)
-    U, S, Vt = jnp.linalg.svd(F, full_matrices=False)
-    R = U @ Vt
+    U, S, Vt = svd3x3(F)    # vectorized Jacobi; jnp.linalg.svd is ~100x
+    R = U @ Vt              # slower on TPU for small batched problems
     Sp = volume_invariant_project(S)
     V = U @ (Sp[..., None] * Vt)
     eye = jnp.eye(3, dtype=ddof.dtype)

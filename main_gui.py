@@ -1,0 +1,107 @@
+"""Interactive physics demo (reference: main_gui.py).
+
+Loads a trained field + an annotated physics PLY, builds the simulator, and
+runs the coupled sim+render loop. With dearpygui installed this opens the
+interactive window (drag = spring force, space = pause — reference
+nerf/gui.py:439-952); headless environments fall back to writing an
+animation:
+
+    python main_gui.py --workspace model/chair --exp_name chair \
+        --sim_dx 0.05 --num_seek_IP 3 --max_iter_num 1 \
+        --frames 120 --out_dir frames/
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=60,
+                        help="headless mode: frames to write")
+    parser.add_argument("--out_dir", type=str, default="gui_frames")
+    parser.add_argument("--force_ip", type=int, default=-1,
+                        help="apply a constant force at this IP id")
+    parser.add_argument("--force", nargs=3, type=float,
+                        default=[0.0, 0.0, 0.0])
+    parser.add_argument("--gravity", nargs=3, type=float,
+                        default=[0.0, -9.8, 0.0])
+    from pienerf_tpu.config import get_shared_opts
+    cfg = get_shared_opts(parser)
+    ns, _ = parser.parse_known_args()
+
+    import jax.numpy as jnp
+
+    from pienerf_tpu.io.ply import read_physics_ply
+    from pienerf_tpu.ops import beam_bend
+    from pienerf_tpu.ops.pallas import field_kernel
+    from pienerf_tpu.render import interactive
+    from pienerf_tpu.sim import solver as sim
+    from pienerf_tpu.train.trainer import Trainer
+    from pienerf_tpu.utils.camera import OrbitCamera
+
+    trainer = Trainer("ngp", cfg, workspace=cfg.workspace,
+                      use_checkpoint=cfg.ckpt)
+
+    ply_path = os.path.join("assets", f"{cfg.exp_name}.ply")
+    if not os.path.exists(ply_path):
+        raise SystemExit(f"annotated physics PLY not found: {ply_path}")
+    d = read_physics_ply(ply_path)
+
+    consts, state, aux = sim.sim_init(
+        d["pos"], d["mass"], d["mu"], d["lam"], d["pin"],
+        dt=cfg.sim_dt, iters=cfg.sim_iters,
+        bbox=np.array([2.0 * cfg.bound] * 3), kres=7, dx=cfg.sim_dx,
+        gravity=tuple(ns.gravity), stiff=cfg.sim_stiff,
+        base=np.array([-cfg.bound] * 3),
+    )
+    print(f"[sim] {aux['n_ip']} IPs, {aux['n_k']} kernel nodes")
+
+    if trainer.spec.backbone != "mlp":
+        print("[warn] interactive path requires the mlp backbone; "
+              "hashgrid checkpoints render via the offline path "
+              "(see PERF.md)")
+
+    pw = field_kernel.pack_weights(trainer.state.ema_params, trainer.spec)
+    bst = beam_bend.BeamBendSettings(
+        num_seek_ip=cfg.num_seek_IP, max_iter_num=cfg.max_iter_num,
+        ip_dx=1.05 * cfg.sim_dx,
+    )
+    ist = interactive.InteractiveSettings(
+        spec=trainer.spec, bend=bst, tile=16, samples=64,
+        min_near=cfg.min_near, T_thresh=cfg.T_thresh,
+    )
+
+    H = W = 800 if cfg.dataset_type == "synthetic" else min(cfg.H, 800)
+    H = (H // 16) * 16
+    W = (W // 16) * 16
+    cam = OrbitCamera(W, H, r=cfg.radius, fovy=cfg.fovy)
+
+    os.makedirs(ns.out_dir, exist_ok=True)
+    fvid = jnp.asarray(ns.force_ip, jnp.int32)
+    fvec = jnp.asarray(ns.force, jnp.float32)
+
+    import imageio.v2 as imageio
+
+    for i in range(ns.frames):
+        state = sim.update_force(consts, state, jnp.maximum(fvid, 0), fvec) \
+            if int(fvid) >= 0 else sim.clear_force(state)
+        state = sim.sim_step(consts, state)
+        p_def, F, dF = sim.get_ip_info(consts, state)
+        pack = beam_bend.pack_ip_data(
+            p_def, consts.ip_pos.astype(jnp.float32), F, dF)
+        out = interactive.render_frame(
+            ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,
+            H, W, jnp.float32(1.0))
+        img = interactive.tiles_to_image(out["tiles_image"], H, W, ist.tile)
+        imageio.imwrite(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+        if i % 10 == 0:
+            print(f"frame {i}/{ns.frames}")
+    print(f"wrote {ns.frames} frames to {ns.out_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,43 @@ class Trainer:
             meter.update(out["image"], gt)
         return meter.measure()
 
+    # -- geometry export -----------------------------------------------------
+
+    def _density_np(self, x):
+        import jax.numpy as _jnp
+        return np.asarray(self._density_fn(_jnp.asarray(x, _jnp.float32),
+                                           params=self.state.ema_params))
+
+    def save_point_cloud(self, path: str, resolution: int = 256,
+                         threshold: Optional[float] = None) -> str:
+        """Density-thresholded grid point cloud (reference trainer.py:354)."""
+        from pienerf_tpu.io.ply import write_ply
+        from pienerf_tpu.utils import mesh as meshlib
+
+        thr = threshold if threshold is not None else min(
+            float(self.grid.mean_density) or self.cfg.density_thresh,
+            self.cfg.density_thresh)
+        pts = meshlib.extract_point_cloud(self._density_np, resolution,
+                                          self.cfg.bound, thr)
+        write_ply(path, pts.astype(np.float64))
+        self.log(f"[point cloud] {len(pts)} pts -> {path}")
+        return path
+
+    def save_mesh(self, path: str, resolution: int = 256,
+                  threshold: Optional[float] = None) -> str:
+        """Isosurface mesh via marching tetrahedra (reference trainer.py:331)."""
+        from pienerf_tpu.utils import mesh as meshlib
+
+        thr = threshold if threshold is not None else min(
+            float(self.grid.mean_density) or self.cfg.density_thresh,
+            self.cfg.density_thresh)
+        field = meshlib.extract_fields(self._density_np, resolution,
+                                       self.cfg.bound)
+        verts, tris = meshlib.marching_tetrahedra(field, thr, self.cfg.bound)
+        meshlib.save_mesh_obj(path, verts, tris)
+        self.log(f"[mesh] {len(verts)} verts -> {path}")
+        return path
+
     # -- checkpointing -------------------------------------------------------
 
     def _ckpt_file(self, epoch: int) -> str:

@@ -83,23 +83,29 @@ def main():
     fvid = jnp.asarray(ns.force_ip, jnp.int32)
     fvec = jnp.asarray(ns.force, jnp.float32)
 
-    import imageio.v2 as imageio
+    from pienerf_tpu.io.framesink import FrameSink, native_available
 
-    for i in range(ns.frames):
-        state = sim.update_force(consts, state, jnp.maximum(fvid, 0), fvec) \
-            if int(fvid) >= 0 else sim.clear_force(state)
-        state = sim.sim_step(consts, state)
-        p_def, F, dF = sim.get_ip_info(consts, state)
-        pack = beam_bend.pack_ip_data(
-            p_def, consts.ip_pos.astype(jnp.float32), F, dF)
-        out = interactive.render_frame(
-            ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,
-            H, W, jnp.float32(1.0))
-        img = interactive.tiles_to_image(out["tiles_image"], H, W, ist.tile)
-        imageio.imwrite(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),
-                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
-        if i % 10 == 0:
-            print(f"frame {i}/{ns.frames}")
+    with FrameSink(n_threads=2) as sink:
+        if not native_available():
+            print("[framesink] native encoder not built "
+                  "(run native/build.sh); using python fallback")
+        for i in range(ns.frames):
+            state = sim.update_force(consts, state, jnp.maximum(fvid, 0),
+                                     fvec) \
+                if int(fvid) >= 0 else sim.clear_force(state)
+            state = sim.sim_step(consts, state)
+            p_def, F, dF = sim.get_ip_info(consts, state)
+            pack = beam_bend.pack_ip_data(
+                p_def, consts.ip_pos.astype(jnp.float32), F, dF)
+            out = interactive.render_frame(
+                ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,
+                H, W, jnp.float32(1.0))
+            img = interactive.tiles_to_image(out["tiles_image"], H, W,
+                                             ist.tile)
+            sink.push(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),
+                      np.asarray(img))
+            if i % 10 == 0:
+                print(f"frame {i}/{ns.frames}")
     print(f"wrote {ns.frames} frames to {ns.out_dir}/")
 
 

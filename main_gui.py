@@ -28,6 +28,8 @@ def main():
                         default=[0.0, 0.0, 0.0])
     parser.add_argument("--gravity", nargs=3, type=float,
                         default=[0.0, -9.8, 0.0])
+    parser.add_argument("--kres", type=int, default=7,
+                        help="kernel-node grid resolution (stability knob)")
     from pienerf_tpu.config import get_shared_opts
     cfg = get_shared_opts(parser)
     ns, _ = parser.parse_known_args()
@@ -53,7 +55,7 @@ def main():
     consts, state, aux = sim.sim_init(
         d["pos"], d["mass"], d["mu"], d["lam"], d["pin"],
         dt=cfg.sim_dt, iters=cfg.sim_iters,
-        bbox=np.array([2.0 * cfg.bound] * 3), kres=7, dx=cfg.sim_dx,
+        bbox=np.array([2.0 * cfg.bound] * 3), kres=ns.kres, dx=cfg.sim_dx,
         gravity=tuple(ns.gravity), stiff=cfg.sim_stiff,
         base=np.array([-cfg.bound] * 3),
     )
@@ -95,6 +97,12 @@ def main():
                 if int(fvid) >= 0 else sim.clear_force(state)
             state = sim.sim_step(consts, state)
             p_def, F, dF = sim.get_ip_info(consts, state)
+            if not bool(jnp.isfinite(p_def).all()):
+                raise SystemExit(
+                    f"simulation diverged at frame {i} (NaN IP positions); "
+                    "tune --sim_dt / --kres / mass / lam,mu (the local-"
+                    "global scheme is conditionally stable, matching the "
+                    "CUDA reference)")
             pack = beam_bend.pack_ip_data(
                 p_def, consts.ip_pos.astype(jnp.float32), F, dF)
             out = interactive.render_frame(

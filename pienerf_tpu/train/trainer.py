@@ -114,6 +114,7 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.stats: Dict[str, Any] = {"results": [], "checkpoints": []}
+        self.error_map = None  # [B, 128*128] when cfg.error_map
 
         self.spec = spec or network.make_spec(
             bound=cfg.bound, bg_radius=cfg.bg_radius,
@@ -192,17 +193,28 @@ class Trainer:
         H, W = dataset.H, dataset.W
         B = poses.shape[0]
 
+        if self.cfg.error_map and self.error_map is None:
+            self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
+
         for _ in range(n_iters):
             if self.global_step % self.cfg.update_extra_interval == 0:
                 self.update_extra_state()
             self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
             vi = int(jax.random.randint(k1, (), 0, B))
-            inds, _ = sample_pixel_indices(k2, H, W, self.cfg.num_rays)
+            emap = self.error_map[vi] if self.error_map is not None else None
+            inds, inds_coarse = sample_pixel_indices(
+                k2, H, W, self.cfg.num_rays, emap)
             rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
             pix = images[vi].reshape(H * W, -1)[inds]
             batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
             self.state, m = self._train_step(self.state, self.grid.bitfield,
                                              batch, k3)
+            if inds_coarse is not None:
+                # EMA refresh of the sampled cells
+                # (reference nerf/trainer.py:225-246)
+                err = 0.9 * self.error_map[vi][inds_coarse] \
+                    + 0.1 * m["per_ray_loss"]
+                self.error_map = self.error_map.at[vi, inds_coarse].set(err)
             self.global_step += 1
             losses.append(float(m["loss"]))
         return float(np.mean(losses))
@@ -239,6 +251,18 @@ class Trainer:
             pose, intrinsics, H, W, bg_color,
             chunk=self.cfg.render_ray_chunk,
         )
+
+    def test_gui(self, pose, intrinsics, W: int, H: int, bg_color=1.0,
+                 downscale: float = 1.0, use_ema: bool = True,
+                 max_samples: int = 128):
+        """GUI render bridge (reference nerf/trainer.py:531-602): render at
+        a downscaled resolution and return full-size-keyed results."""
+        rH, rW = int(H * downscale), int(W * downscale)
+        intr = tuple(v * downscale for v in intrinsics[:2]) + (
+            intrinsics[2] * downscale, intrinsics[3] * downscale)
+        out = self.render_pose(pose, intr, rH, rW, bg_color, use_ema,
+                               max_samples)
+        return {"image": out["image"], "depth": out["depth"]}
 
     def evaluate(self, dataset, n_views: Optional[int] = None) -> float:
         meter = PSNRMeter()

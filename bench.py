@@ -74,7 +74,7 @@ def main() -> None:
     def frame(st):
         st = sim.sim_step(consts, st)
         p_def, F, dF = sim.get_ip_info(consts, st)
-        pack = beam_bend.pack_ip_data(
+        pack = beam_bend.pack_for(bst, 
             p_def, consts.ip_pos.astype(jnp.float32), F, dF)
         out = interactive.render_frame(ist, pw, pack, p_def, pose_j, intr,
                                        H, W, jnp.float32(1.0))

@@ -103,7 +103,7 @@ def main():
                     "tune --sim_dt / --kres / mass / lam,mu (the local-"
                     "global scheme is conditionally stable, matching the "
                     "CUDA reference)")
-            pack = beam_bend.pack_ip_data(
+            pack = beam_bend.pack_for(bst, 
                 p_def, consts.ip_pos.astype(jnp.float32), F, dF)
             out = interactive.render_frame(
                 ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,

@@ -78,7 +78,7 @@ def main():
         spec=trainer.spec, bend=bst, samples=96, min_near=cfg.min_near,
         T_thresh=cfg.T_thresh)
 
-    pack = beam_bend.pack_ip_data(
+    pack = beam_bend.pack_for(bst, 
         jnp.asarray(p_def, jnp.float32), jnp.asarray(p_ori, jnp.float32),
         jnp.asarray(F, jnp.float32), jnp.asarray(dF, jnp.float32))
     out = interactive.render_frame(

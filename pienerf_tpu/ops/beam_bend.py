@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 PACK = 48
+PACK_FAST = 16
 
 
 def pack_ip_data(p_def: jax.Array, p_ori: jax.Array, F: jax.Array,
@@ -40,10 +41,37 @@ def pack_ip_data(p_def: jax.Array, p_ori: jax.Array, F: jax.Array,
         p_def, p_ori,
         F.reshape(n, 9),
         dF.reshape(n, 27),
-        jnp.ones((n, 1), p_def.dtype),        # slot 42: validity flag
         jnp.zeros((n, PACK - 43), p_def.dtype),
+        jnp.ones((n, 1), p_def.dtype),        # last slot: validity flag
     ], axis=1)
     return flat
+
+
+def pack_ip_data_fast(p_def: jax.Array, p_ori: jax.Array, F: jax.Array,
+                      dF: jax.Array) -> jax.Array:
+    """[nIP, 16] compact rows for the single-Newton-step fast path.
+
+    With max_iter_num == 1 the Newton inversion is exactly
+    p_rest = p_ori + F^{-1} (x - p_def)  (dF terms vanish at q = 0), so the
+    per-sample fetch only needs [p_def(3), p_ori(3), F^{-1}(9, row-major),
+    valid(1)]. F is inverted once per frame per IP. The chair demo runs
+    --max_iter_num 1 (reference README.md:123)."""
+    n = p_def.shape[0]
+    from pienerf_tpu.ops.bending import _inv3x3
+    Finv, ok = _inv3x3(F)
+    flat = jnp.concatenate([
+        p_def, p_ori,
+        Finv.reshape(n, 9),
+        jnp.where(ok, 1.0, 0.0)[:, None],     # last slot: validity flag
+    ], axis=1)
+    return flat
+
+
+def pack_for(settings: "BeamBendSettings", p_def, p_ori, F, dF) -> jax.Array:
+    """Choose the pack layout matching the settings' Newton depth."""
+    if settings.max_iter_num == 1:
+        return pack_ip_data_fast(p_def, p_ori, F, dF)
+    return pack_ip_data(p_def, p_ori, F, dF)
 
 
 class BeamBendSettings(NamedTuple):
@@ -113,6 +141,7 @@ def bin_candidates(
     rejected later by the distance test)."""
     B = settings.bin_capacity
     C, P = cand_proj.shape
+    width = cand_pack.shape[-1]
     b = jnp.clip(jnp.floor((cand_proj - t0[:, None]) / dt_bin[:, None]).astype(
         jnp.int32) + 1, 0, n_bins - 1)                          # halo offset
     b = jnp.where(mask, b, n_bins)                              # dropped
@@ -131,10 +160,10 @@ def bin_candidates(
     keep = (b_sorted < n_bins) & (rank < B)
     slot = jnp.where(keep, b_sorted * B + rank, n_bins * B)
     src_pack = jnp.take_along_axis(cand_pack, order[..., None], axis=1)
-    bins = jnp.zeros((C, n_bins * B, PACK), cand_pack.dtype)
+    bins = jnp.zeros((C, n_bins * B, width), cand_pack.dtype)
     bins = bins.at[rows, slot].set(
         jnp.where(keep[..., None], src_pack, 0.0), mode="drop")
-    return bins.reshape(C, n_bins, B, PACK)
+    return bins.reshape(C, n_bins, B, width)
 
 
 def _inv3x3_c(m):
@@ -201,38 +230,51 @@ def bend_tile_samples(
     k, k+1, k+2 (i.e. its own bin plus halo neighbors).
 
     Returns (mapped positions (3 x [C, T2, K]), found [C, T2, K])."""
-    C, n_bins, B, _ = bins.shape
+    C, n_bins, B, width = bins.shape
+    fast = width == PACK_FAST      # single-Newton-step compact layout
     K = n_bins - 2
     T2 = x[0].shape[1]
     kseek = settings.num_seek_ip
 
-    # candidate window per depth index: [C, K, 3B, 48]
+    # candidate window per depth index: [C, K, 3B, width]
     win = jnp.concatenate(
         [bins[:, 0:K], bins[:, 1:K + 1], bins[:, 2:K + 2]], axis=2)
 
-    # distances: [C, T2, K, 3B]
+    # distances laid out [C, 3B, T2, K]: the candidate axis must stay OFF
+    # the minor dims — a [.., K, 3B] layout pads 3B=24 lanes to 128 (5.3x
+    # HBM inflation, measured dominant; PERF.md layout rule)
     d2 = None
     for i in range(3):
         pc = win[..., i]                                        # [C, K, 3B]
-        diff = x[i][:, :, :, None] - pc[:, None, :, :]
+        diff = x[i][:, None, :, :] - jnp.swapaxes(pc, 1, 2)[:, :, None, :]
         d2 = diff * diff if d2 is None else d2 + diff * diff
-    # empty slots carry validity flag 0 (pack_ip_data slot 42)
-    empty = win[..., 42] == 0.0                                  # [C, K, 3B]
-    d2 = jnp.where(empty[:, None, :, :], jnp.inf, d2)
+    # empty slots carry validity flag 0 (last pack slot)
+    empty = jnp.swapaxes(win[..., width - 1] == 0.0, 1, 2)      # [C, 3B, K]
+    d2 = jnp.where(empty[:, :, None, :], jnp.inf, d2)
 
+    sidx = jnp.arange(3 * B)[None, :, None, None]               # [1,3B,1,1]
     mapped = [jnp.zeros_like(x[i]) for i in range(3)]
     wsum = jnp.zeros_like(x[0])
     d2_work = d2
     for _ in range(kseek):
-        j = jnp.argmin(d2_work, axis=-1)                        # [C, T2, K]
-        best = jnp.min(d2_work, axis=-1)
+        j = jnp.argmin(d2_work, axis=1)                         # [C, T2, K]
+        best = jnp.min(d2_work, axis=1)
         has = jnp.isfinite(best)
-        onehot = jax.nn.one_hot(j, 3 * B, dtype=bins.dtype)     # [C,T2,K,3B]
-        onehot = onehot * has[..., None]
-        # fetch candidate rows: [42, C, T2, K]
-        sel = jnp.einsum("ctks,cksp->pctk", onehot, win)
-        p_rest = newton_invert_packed(
-            tuple(x[i] for i in range(3)), sel, settings.max_iter_num)
+        onehot = (sidx == j[:, None, :, :]).astype(bins.dtype)  # [C,3B,T2,K]
+        onehot = onehot * has[:, None, :, :]
+        # fetch candidate rows: [width, C, T2, K]
+        sel = jnp.einsum("cstk,cksp->pctk", onehot, win)
+        if fast:
+            # p_rest = p_ori + F^{-1} (x - p_def): exact single Newton step
+            pd, po, Fi = sel[0:3], sel[3:6], sel[6:15]
+            q = tuple(x[i] - pd[i] for i in range(3))
+            p_rest = tuple(
+                po[d] + Fi[d * 3 + 0] * q[0] + Fi[d * 3 + 1] * q[1]
+                + Fi[d * 3 + 2] * q[2]
+                for d in range(3))
+        else:
+            p_rest = newton_invert_packed(
+                tuple(x[i] for i in range(3)), sel, settings.max_iter_num)
         # reject diverged solutions (> ip_dx per axis from the rest IP)
         ok = has
         for i in range(3):
@@ -241,8 +283,7 @@ def bend_tile_samples(
         for i in range(3):
             mapped[i] = mapped[i] + w * p_rest[i]
         wsum = wsum + w
-        d2_work = jnp.where(
-            jax.nn.one_hot(j, 3 * B, dtype=bool), jnp.inf, d2_work)
+        d2_work = jnp.where(sidx == j[:, None, :, :], jnp.inf, d2_work)
 
     found = wsum > 0
     inv = 1.0 / jnp.maximum(wsum, 1e-30)

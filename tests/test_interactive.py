@@ -31,7 +31,49 @@ def test_pack_ip_data_layout():
     pack = beam_bend.pack_ip_data(p_def, p_ori, F, dF)
     assert pack.shape == (p_def.shape[0], beam_bend.PACK)
     np.testing.assert_allclose(np.asarray(pack[:, :3]), np.asarray(p_def))
-    np.testing.assert_allclose(np.asarray(pack[:, 42]), 1.0)
+    np.testing.assert_allclose(np.asarray(pack[:, -1]), 1.0)
+    fastp = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    assert fastp.shape == (p_def.shape[0], beam_bend.PACK_FAST)
+    np.testing.assert_allclose(np.asarray(fastp[:, -1]), 1.0)
+    # identity F -> F^{-1} = I (row-major slots 6..14)
+    np.testing.assert_allclose(
+        np.asarray(fastp[0, 6:15]).reshape(3, 3), np.eye(3), atol=1e-6)
+
+
+def test_fast_pack_matches_general_single_newton():
+    """max_iter=1 general Newton == F^{-1}(x - p_def) fast path."""
+    rng = np.random.RandomState(9)
+    p_def, p_ori, F, dF = _ip_grid(shift=(0.1, 0.0, -0.05))
+    n = F.shape[0]
+    F = jnp.asarray(np.asarray(F) + 0.15 * rng.randn(n, 3, 3).astype(np.float32))
+    dF = jnp.asarray(0.2 * rng.randn(n, 3, 3, 3).astype(np.float32))
+    st = beam_bend.BeamBendSettings(num_seek_ip=2, max_iter_num=1,
+                                    ip_dx=0.2, ips_per_tile=128,
+                                    bin_capacity=12)
+    origin = jnp.asarray([[0.0, 0.0, -2.5]])
+    axis = jnp.asarray([[0.0, 0.0, 1.0]])
+    t0 = jnp.asarray([1.9]); t1 = jnp.asarray([3.1])
+    K = 16
+    kk = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    t = t0[:, None] + (t1 - t0)[:, None] * kk[None]
+    d = jnp.asarray([[0.02, 0.01, 1.0]] * 4)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    xs = tuple(origin[0, i] + t[:, None, :] * d[None, :, i, None]
+               for i in range(3))
+
+    outs = []
+    for pack_fn in (beam_bend.pack_ip_data, beam_bend.pack_ip_data_fast):
+        pack = pack_fn(p_def, p_ori, F, dF)
+        cand, proj, m = beam_bend.select_tile_candidates(
+            st, pack, p_def, origin, axis, jnp.asarray([0.05]), t0, t1)
+        bins = beam_bend.bin_candidates(st, cand, proj, m, t0,
+                                        (t1 - t0) / K, K + 2)
+        outs.append(beam_bend.bend_tile_samples(st, bins, xs))
+    (xm_g, f_g), (xm_f, f_f) = outs
+    np.testing.assert_array_equal(np.asarray(f_g), np.asarray(f_f))
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(xm_g[i]), np.asarray(xm_f[i]),
+                                   atol=1e-5)
 
 
 def test_beam_bend_identity_and_translation():

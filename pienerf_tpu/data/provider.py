@@ -25,6 +25,58 @@ def nerf_matrix_to_ngp(pose: np.ndarray, scale: float = 0.33,
     ], dtype=np.float32)
 
 
+def rand_poses(n: int, radius: float = 1.0,
+               theta_range=(np.pi / 3, 2 * np.pi / 3),
+               phi_range=(0, 2 * np.pi), seed: int = 0) -> np.ndarray:
+    """Random orbit poses (reference nerf/provider.py:57-91)."""
+    rng = np.random.RandomState(seed)
+    thetas = rng.uniform(*theta_range, size=n)
+    phis = rng.uniform(*phi_range, size=n)
+    centers = np.stack([
+        radius * np.sin(thetas) * np.sin(phis),
+        radius * np.cos(thetas),
+        radius * np.sin(thetas) * np.cos(phis),
+    ], axis=-1)
+
+    def norm(v):
+        return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-10)
+
+    forward = -norm(centers)
+    up = np.tile([0.0, -1.0, 0.0], (n, 1))
+    right = norm(np.cross(forward, up))
+    up2 = norm(np.cross(right, forward))
+    poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    poses[:, :3, 0] = right
+    poses[:, :3, 1] = up2
+    poses[:, :3, 2] = forward
+    poses[:, :3, 3] = centers
+    return poses
+
+
+def _slerp_test_poses(frames, scale, offset, n_test: int,
+                      seed: int = 0) -> np.ndarray:
+    """Colmap test split: slerp between two random train poses
+    (reference nerf/provider.py:166-182)."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    rng = np.random.RandomState(seed)
+    i0, i1 = rng.choice(len(frames), 2, replace=False)
+    p0 = nerf_matrix_to_ngp(np.array(frames[i0]["transform_matrix"],
+                                     np.float32), scale, offset)
+    p1 = nerf_matrix_to_ngp(np.array(frames[i1]["transform_matrix"],
+                                     np.float32), scale, offset)
+    rots = Rotation.from_matrix(np.stack([p0[:3, :3], p1[:3, :3]]))
+    slerp = Slerp([0, 1], rots)
+    poses = []
+    for i in range(n_test + 1):
+        ratio = np.sin(((i / n_test) - 0.5) * np.pi) * 0.5 + 0.5
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = slerp(ratio).as_matrix()
+        pose[:3, 3] = (1 - ratio) * p0[:3, 3] + ratio * p1[:3, 3]
+        poses.append(pose)
+    return np.stack(poses)
+
+
 class NeRFDataset:
     """Posed-image dataset.
 
@@ -74,6 +126,17 @@ class NeRFDataset:
             self.H = self.W = None
 
         frames = transform["frames"]
+        if self.mode == "colmap" and type == "test":
+            # view-interpolated test path: poses only, no images
+            self.poses = _slerp_test_poses(frames, cfg.scale, cfg.offset,
+                                           n_test)
+            self.images = None
+            self.H = self.H or int(transform.get("h", 800))
+            self.W = self.W or int(transform.get("w", 800))
+            self._load_intrinsics(transform, downscale)
+            self.radius = float(np.linalg.norm(self.poses[:, :3, 3],
+                                               axis=-1).mean())
+            return
         if self.mode == "colmap":
             if type == "train":
                 frames = frames[1:]
@@ -112,6 +175,9 @@ class NeRFDataset:
         self.images = np.stack(images) if images else None
         self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
 
+        self._load_intrinsics(transform, downscale)
+
+    def _load_intrinsics(self, transform, downscale):
         if "fl_x" in transform or "fl_y" in transform:
             fl_x = transform.get("fl_x", transform.get("fl_y")) / downscale
             fl_y = transform.get("fl_y", transform.get("fl_x")) / downscale

@@ -70,3 +70,47 @@ def test_missing_dataset_raises(tmp_path):
     cfg = PieNeRFConfig(path=str(tmp_path)).finalize()
     with pytest.raises(NotImplementedError):
         NeRFDataset(cfg, type="train")
+
+
+def test_rand_poses_orbit():
+    from pienerf_tpu.data.provider import rand_poses
+    poses = rand_poses(16, radius=2.0, seed=1)
+    assert poses.shape == (16, 4, 4)
+    np.testing.assert_allclose(np.linalg.norm(poses[:, :3, 3], axis=1), 2.0,
+                               rtol=1e-5)
+    # rotation part orthogonal, camera looks at the origin (+z = forward)
+    R = poses[:, :3, :3]
+    np.testing.assert_allclose(np.einsum("nij,nik->njk", R, R),
+                               np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+    fwd = R[:, :, 2]
+    np.testing.assert_allclose(fwd, -poses[:, :3, 3] / 2.0, atol=1e-5)
+
+
+def test_colmap_test_split_slerp(tmp_path):
+    import cv2
+
+    root = str(tmp_path / "colmap")
+    os.makedirs(root)
+    ds = synthetic.make_dataset(n_views=4, H=16, W=16)
+    frames = []
+    for i, pose in enumerate(ds.poses):
+        blender = _ngp_to_blender(pose, 0.5, [0.0, 0.0, 0.0])
+        fp = f"r_{i}.png"
+        cv2.imwrite(os.path.join(root, fp),
+                    (ds.images[i, :, :, ::-1] * 255).astype(np.uint8))
+        frames.append({"file_path": fp, "transform_matrix": blender.tolist()})
+    with open(os.path.join(root, "transforms.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.9, "h": 16, "w": 16,
+                   "frames": frames}, f)
+
+    cfg = PieNeRFConfig(path=root, scale=0.5, bound=1.0).finalize()
+    train = NeRFDataset(cfg, type="train")
+    assert train.mode == "colmap"
+    assert len(train.poses) == 3          # first frame held out as val
+    test = NeRFDataset(cfg, type="test", n_test=6)
+    assert test.poses.shape == (7, 4, 4)
+    assert test.images is None
+    # interpolated poses have orthonormal rotations
+    R = test.poses[:, :3, :3]
+    np.testing.assert_allclose(np.einsum("nij,nik->njk", R, R),
+                               np.tile(np.eye(3), (7, 1, 1)), atol=1e-5)

@@ -74,7 +74,10 @@ def main():
     ist = interactive.InteractiveSettings(
         spec=trainer.spec, bend=bst, tile=16, samples=64,
         min_near=cfg.min_near, T_thresh=cfg.T_thresh,
+        cut=cfg.cut, bound=cfg.bound,
     )
+    cut_bounds = (jnp.asarray(cfg.cut_bounds, jnp.float32)
+                  if cfg.cut else None)
 
     H = W = 800 if cfg.dataset_type == "synthetic" else min(cfg.H, 800)
     H = (H // 16) * 16
@@ -107,7 +110,7 @@ def main():
                 p_def, consts.ip_pos.astype(jnp.float32), F, dF)
             out = interactive.render_frame(
                 ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,
-                H, W, jnp.float32(1.0))
+                H, W, jnp.float32(1.0), cut_bounds)
             img = interactive.tiles_to_image(out["tiles_image"], H, W,
                                              ist.tile)
             sink.push(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),

@@ -76,14 +76,16 @@ def main():
         ip_dx=1.05 * cfg.sim_dx)
     ist = interactive.InteractiveSettings(
         spec=trainer.spec, bend=bst, samples=96, min_near=cfg.min_near,
-        T_thresh=cfg.T_thresh)
+        T_thresh=cfg.T_thresh, cut=cfg.cut, bound=cfg.bound)
+    cut_bounds = (jnp.asarray(cfg.cut_bounds, jnp.float32)
+                  if cfg.cut else None)
 
     pack = beam_bend.pack_for(bst, 
         jnp.asarray(p_def, jnp.float32), jnp.asarray(p_ori, jnp.float32),
         jnp.asarray(F, jnp.float32), jnp.asarray(dF, jnp.float32))
     out = interactive.render_frame(
         ist, pw, pack, jnp.asarray(p_def, jnp.float32), jnp.asarray(pose),
-        intr, H, W, jnp.float32(1.0))
+        intr, H, W, jnp.float32(1.0), cut_bounds)
     img = interactive.tiles_to_image(out["tiles_image"], H, W, ist.tile)
 
     import imageio.v2 as imageio

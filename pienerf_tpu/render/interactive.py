@@ -38,6 +38,10 @@ class InteractiveSettings(NamedTuple):
     density_scale: float = 1.0
     T_thresh: float = 1e-2
     deformed: bool = True
+    cut: bool = False              # bend only inside cut_bounds; render the
+    #                                rest statically (reference
+    #                                raymarching.cu:1197-1212, y-typo fixed)
+    bound: float = 1.0             # scene bound (cut mode ray extent)
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -97,6 +101,7 @@ def render_frame(
     H: int,
     W: int,
     bg_color: jax.Array,
+    cut_bounds: Optional[jax.Array] = None,   # [6] when settings.cut
 ) -> Dict[str, jax.Array]:
     st = settings
     ts = st.tile
@@ -108,8 +113,14 @@ def render_frame(
     a_cap = max(st.tile_chunk, (a_cap // st.tile_chunk) * st.tile_chunk)
 
     marg = 1e-3
-    bbmin = jnp.min(p_def, axis=0) - marg
-    bbmax = jnp.max(p_def, axis=0) + marg
+    if st.cut:
+        # cut mode marches the full scene box; bending applies inside
+        # cut_bounds only, the rest of the scene renders statically
+        bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
+        bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
+    else:
+        bbmin = jnp.min(p_def, axis=0) - marg
+        bbmax = jnp.max(p_def, axis=0) + marg
 
     # --- tile activity via the tile's corner rays only (cheap proxy:
     #     test all rays of every tile is fine too; T2 per tile is small)
@@ -171,6 +182,17 @@ def render_frame(
 
         if st.deformed:
             xm, found = beam_bend.bend_tile_samples(st.bend, bins, xs)
+            if st.cut:
+                assert cut_bounds is not None
+                cb = cut_bounds
+                in_cut = (
+                    (xs[0] > cb[0]) & (xs[0] < cb[1])
+                    & (xs[1] > cb[2]) & (xs[1] < cb[3])
+                    & (xs[2] > cb[4]) & (xs[2] < cb[5])
+                )
+                # outside cut_bounds: render the static scene unbent
+                xm = tuple(jnp.where(in_cut, xm[i], xs[i]) for i in range(3))
+                found = jnp.where(in_cut, found, True)
         else:
             xm, found = xs, jnp.ones(xs[0].shape, bool)
 

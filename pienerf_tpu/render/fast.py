@@ -71,6 +71,39 @@ MapFn = Callable[[Tuple[jax.Array, jax.Array, jax.Array]],
                  Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array]]
 
 
+def render_image_fast(params, spec, settings: "FastSettings", pose,
+                      intrinsics, H: int, W: int, bg_color: float = 1.0,
+                      rng: Optional[jax.Array] = None,
+                      chunk: int = 65536) -> Dict[str, np.ndarray]:
+    """Full-frame render through the gather-free path (host-tiled)."""
+    from pienerf_tpu.data.rays import get_rays_full
+
+    rays_o, rays_d = get_rays_full(jnp.asarray(pose, jnp.float32),
+                                   intrinsics, H, W)
+    n = H * W
+    chunk = min(chunk, max(256, 1 << (n - 1).bit_length()))
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    imgs, deps, wss = [], [], []
+    bg = jnp.asarray(bg_color, jnp.float32)
+    for s in range(0, n, chunk):
+        ro, rd = rays_o[s:s + chunk], rays_d[s:s + chunk]
+        pad = chunk - ro.shape[0]
+        if pad:
+            ro = jnp.pad(ro, ((0, pad), (0, 0)), constant_values=1.0)
+            rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        rng, k = jax.random.split(rng)
+        out = render_rays_fast(params, spec, settings, ro, rd, bg, k)
+        take = chunk - pad
+        imgs.append(np.asarray(out["image"][:take]))
+        deps.append(np.asarray(out["depth_raw"][:take]))
+        wss.append(np.asarray(out["weights_sum"][:take]))
+    return {
+        "image": np.concatenate(imgs).reshape(H, W, 3),
+        "depth": np.concatenate(deps).reshape(H, W),
+        "weights_sum": np.concatenate(wss).reshape(H, W),
+    }
+
+
 def _eval_density(params, spec, rays_o, rays_d, t, density_scale,
                   map_fn: Optional[MapFn]):
     """sigma at ray samples t [N, K] (componentwise positions)."""

@@ -50,13 +50,30 @@ def make_train_step(
     settings: renderer.RenderSettings,
     optimizer: optax.GradientTransformation,
     ema_decay: float = 0.95,
+    use_fast_path: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     batch: dict with rays_o [N,3], rays_d [N,3], pixels [N,3or4].
     RGBA targets composite onto a per-step random background
     (reference nerf/trainer.py:187-198).
+
+    use_fast_path trains through the gather-free hierarchical renderer
+    (render/fast.py) instead of the occupancy-grid march — the right choice
+    for the mlp backbone on TPU (occupancy bit tests are random gathers,
+    PERF.md; measured ~40 ms/step of pure lookup cost at 4096x1024).
     """
+    if use_fast_path:
+        from pienerf_tpu.render import fast as fastlib
+
+        fast_settings = fastlib.FastSettings(
+            bound=settings.bound, min_near=settings.min_near,
+            density_scale=settings.density_scale,
+            T_thresh=settings.T_thresh,
+            num_coarse=settings.max_samples // 2,
+            num_fine=settings.max_samples - settings.max_samples // 2,
+            bg_radius=settings.bg_radius,
+        )
 
     @jax.jit
     def train_step(state: TrainState, bitfield: jax.Array,
@@ -72,11 +89,17 @@ def make_train_step(
             target = pixels
 
         def loss_fn(params):
-            out = renderer.render_rays(
-                params, spec, settings, bitfield,
-                batch["rays_o"], batch["rays_d"], bg,
-                rng=k_perturb, perturb=True,
-            )
+            if use_fast_path:
+                out = fastlib.render_rays_fast(
+                    params, spec, fast_settings,
+                    batch["rays_o"], batch["rays_d"], bg, k_perturb,
+                )
+            else:
+                out = renderer.render_rays(
+                    params, spec, settings, bitfield,
+                    batch["rays_o"], batch["rays_d"], bg,
+                    rng=k_perturb, perturb=True,
+                )
             loss = jnp.mean((out["image"] - target) ** 2)
             per_ray = jnp.mean((out["image"] - target) ** 2, axis=-1)
             return loss, per_ray
@@ -137,8 +160,11 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         self.grid = gridlib.init(cfg.cascade)
-        self._train_step = make_train_step(self.spec, self.settings,
-                                           self.optimizer)
+        # mlp backbone: train gather-free (see make_train_step)
+        self._use_fast_train = self.spec.backbone == "mlp"
+        self._train_step = make_train_step(
+            self.spec, self.settings, self.optimizer,
+            use_fast_path=self._use_fast_train)
         self._density_fn = self._make_density_fn()
 
         os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
@@ -197,7 +223,8 @@ class Trainer:
             self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
 
         for _ in range(n_iters):
-            if self.global_step % self.cfg.update_extra_interval == 0:
+            if (not self._use_fast_train
+                    and self.global_step % self.cfg.update_extra_interval == 0):
                 self.update_extra_state()
             self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
             vi = int(jax.random.randint(k1, (), 0, B))
@@ -246,6 +273,19 @@ class Trainer:
     def render_pose(self, pose, intrinsics, H, W, bg_color=1.0,
                     use_ema: bool = True, max_samples: int = 256):
         params = self.state.ema_params if use_ema else self.state.params
+        if self._use_fast_train:
+            from pienerf_tpu.render import fast as fastlib
+
+            st = fastlib.FastSettings(
+                bound=self.cfg.bound, min_near=self.cfg.min_near,
+                T_thresh=self.cfg.T_thresh,
+                num_coarse=max_samples // 2,
+                num_fine=max_samples - max_samples // 2,
+                bg_radius=self.cfg.bg_radius,
+            )
+            return fastlib.render_image_fast(
+                params, self.spec, st, pose, intrinsics, H, W, bg_color,
+                chunk=self.cfg.render_ray_chunk)
         return renderer.render_image(
             params, self.spec, self.infer_settings(max_samples), self.grid,
             pose, intrinsics, H, W, bg_color,

@@ -98,9 +98,9 @@ def test_sh_matches_scipy():
     rng = np.random.RandomState(0)
     d = rng.randn(64, 3)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    got = np.asarray(sh_encode(jnp.asarray(d), degree=4))
+    got = np.asarray(sh_encode(jnp.asarray(d), degree=8))
     idx = 0
-    for l in range(4):
+    for l in range(8):
         for m in range(-l, l + 1):
             want = _scipy_real_sh(l, m, d)
             # tcnn flips the sign of odd-|m| components vs the

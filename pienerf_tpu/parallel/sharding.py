@@ -40,6 +40,68 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def render_frame_sharded(
+    mesh: Mesh,
+    settings,
+    packed_w: jax.Array,
+    ip_pack: jax.Array,
+    p_def: jax.Array,
+    pose: jax.Array,
+    intrinsics,
+    H: int,
+    W: int,
+    bg_color,
+    cut_bounds=None,
+    axis: str = "data",
+):
+    """Multi-chip interactive frame: the image splits into horizontal bands,
+    one per device; scene state (IP pack, weights) is replicated, so the
+    only cross-chip traffic is the final band gather over ICI.
+
+    Returns the assembled [H, W, 3] image (numpy).
+    """
+    import numpy as np
+
+    from pienerf_tpu.render import interactive
+
+    n_dev = mesh.devices.size
+    assert H % (n_dev * settings.tile) == 0, (
+        f"H={H} must split into {n_dev} tile-aligned bands")
+    band_h = H // n_dev
+    fx, fy, cx, cy = intrinsics
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    repl = P()
+
+    def band_render(band_idx):
+        # band b covers image rows [b*band_h, (b+1)*band_h): shift cy
+        b = band_idx[0]
+        intr_band = (fx, fy, cx, cy - b.astype(jnp.float32) * band_h)
+        out = interactive.render_frame(
+            settings, packed_w, ip_pack, p_def, pose, intr_band,
+            band_h, W, bg_color, cut_bounds)
+        img = out["tiles_image"].reshape(
+            band_h // settings.tile, W // settings.tile,
+            settings.tile, settings.tile, 3)
+        img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(band_h, W, 3)
+        return img[None]                                      # [1, bh, W, 3]
+
+    band_ids = jax.device_put(
+        jnp.arange(n_dev, dtype=jnp.int32),
+        NamedSharding(mesh, P(axis)))
+
+    fn = shard_map(
+        band_render, mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    bands = fn(band_ids)                                      # [n_dev, bh, W, 3]
+    return np.asarray(bands).reshape(H, W, 3)
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):
     """Wrap a (state, bitfield, batch, rng) train step with explicit
     shardings: batch sharded on `axis`, everything else replicated.

@@ -89,7 +89,7 @@ def _near_far(o, d, bbmin, bbmax, min_near):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "H", "W", "intrinsics"),
+    static_argnames=("settings", "H", "W"),
 )
 def render_frame(
     settings: InteractiveSettings,

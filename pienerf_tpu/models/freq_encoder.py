@@ -16,7 +16,7 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 Coords = Union[jax.Array, Tuple[jax.Array, ...]]
 

@@ -23,7 +23,7 @@ padded to 48.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Tuple
 
 import jax

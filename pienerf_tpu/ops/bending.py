@@ -33,7 +33,7 @@ bound and convergence masking.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax

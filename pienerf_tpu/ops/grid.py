@@ -14,7 +14,7 @@ at 2x count has the same refresh effect and keeps shapes static).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Callable, NamedTuple, Tuple
 
 import jax

@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pienerf_tpu.models import freq_encoder, network
+from pienerf_tpu.models import network
 from pienerf_tpu.models.sh_encoder import C0, C1, C2, C3
 
 

@@ -20,7 +20,7 @@ carries (raymarching.cu:646-685); here XLA differentiates it directly.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Tuple
 
 import jax

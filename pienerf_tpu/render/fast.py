@@ -24,7 +24,7 @@ import numpy as np
 
 from pienerf_tpu.models import network
 from pienerf_tpu.ops import raymarch
-from pienerf_tpu.render.renderer import RenderSettings
+
 
 
 class FastSettings(NamedTuple):

@@ -19,7 +19,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from pienerf_tpu.models import network
 from pienerf_tpu.render import deformed

@@ -31,7 +31,7 @@ Conventions (self-consistent with ops/bending.py):
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Optional, Tuple
 
 import jax

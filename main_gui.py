@@ -90,10 +90,13 @@ def main():
 
     from pienerf_tpu.io.framesink import FrameSink, native_available
 
+    import time as _time
+
     with FrameSink(n_threads=2) as sink:
         if not native_available():
             print("[framesink] native encoder not built "
                   "(run native/build.sh); using python fallback")
+        t_prev = _time.perf_counter()
         for i in range(ns.frames):
             state = sim.update_force(consts, state, jnp.maximum(fvid, 0),
                                      fvec) \
@@ -115,6 +118,14 @@ def main():
                                              ist.tile)
             sink.push(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),
                       np.asarray(img))
+            if cfg.timing_on:
+                # per-frame wall time (reference --timing_on,
+                # renderer.py:759-894); async display means this includes
+                # the device pipeline drain for the frame
+                now = _time.perf_counter()
+                print(f"timing: frame {i}: {(now - t_prev) * 1000:.1f} ms "
+                      f"(active tiles: {int(out['n_active'])})")
+                t_prev = now
             if i % 10 == 0:
                 print(f"frame {i}/{ns.frames}")
     print(f"wrote {ns.frames} frames to {ns.out_dir}/")

@@ -169,6 +169,14 @@ class Trainer:
 
         os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
         self.log_path = os.path.join(self.workspace, "log_ngp.txt")
+        # tensorboard scalars (reference nerf/trainer.py:655-657)
+        self.writer = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(self.workspace, "run"))
+        except ImportError:
+            pass
 
         if use_checkpoint == "latest":
             self.load_checkpoint(None)
@@ -244,6 +252,9 @@ class Trainer:
                 self.error_map = self.error_map.at[vi, inds_coarse].set(err)
             self.global_step += 1
             losses.append(float(m["loss"]))
+            if self.writer is not None and self.global_step % 50 == 0:
+                self.writer.add_scalar("train/loss", losses[-1],
+                                       self.global_step)
         return float(np.mean(losses))
 
     def train(self, train_dataset, valid_dataset=None,

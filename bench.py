@@ -4,15 +4,18 @@ Mirrors BASELINE.json config 3 (the chair interactive demo:
 --max_iter_num 1 --num_seek_IP 3 --sim_dx 0.05, 800x800). No scene assets
 ship with either repo, so the standard synthetic sphere scene provides an
 equivalent-compute stand-in: ~3k integration points at sim_dx=0.05, Q-GMLS
-implicit stepping, tile-beam quadratic bending, fused-MLP field evaluation
-and compositing per frame (the gather-free TPU flagship path — PERF.md).
+implicit stepping, tile-beam quadratic bending, fused Pallas
+bend+field+composite tile kernel per frame (the gather-free TPU flagship
+path — PERF.md). A constant drag force is applied at one IP so the bench
+exercises update_force + real deformation every frame (round-1 weakness #8).
 
 Reference baseline: the CUDA implementation's interactive budget is 80 ms/
 frame at dynamically-DOWNSCALED resolution (reference nerf/gui.py:606-611,
 i.e. 12.5 FPS below 800x800, floor 1/4 scale); we report FPS at full
 800x800 against that 12.5 FPS target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}
+(extras: solver steps/s and capacity-drop counters per BASELINE.md axes).
 """
 
 from __future__ import annotations
@@ -30,12 +33,12 @@ def main() -> None:
     from pienerf_tpu.models import network
     from pienerf_tpu.ops import beam_bend
     from pienerf_tpu.ops.pallas import field_kernel
-    from pienerf_tpu.render import interactive
+    from pienerf_tpu.render import interactive, pipeline
     from pienerf_tpu.sim import solver as sim
 
     on_tpu = jax.devices()[0].platform != "cpu"
     H = W = 800 if on_tpu else 64
-    n_frames = 10 if on_tpu else 2
+    n_frames = 20 if on_tpu else 2
 
     # --- scene: sphere point cloud at the chair demo's sim_dx
     r0, dx = 0.45, 0.05 if on_tpu else 0.1
@@ -60,7 +63,7 @@ def main() -> None:
 
     bst = beam_bend.BeamBendSettings(
         num_seek_ip=3, max_iter_num=1, ip_dx=1.05 * dx,
-        ips_per_tile=192, bin_capacity=8,
+        ips_per_tile=256, bin_capacity=8,
     )
     ist = interactive.InteractiveSettings(
         spec=spec, bend=bst, tile=16, samples=64, active_frac=0.5,
@@ -71,17 +74,20 @@ def main() -> None:
     pose[:3, 3] = (0, 0, -2.5)
     pose_j = jnp.asarray(pose)
 
+    # drag one IP sideways every frame (picked-IP spring force, as the GUI's
+    # ctrl+drag does — reference nerf/gui.py:570-576)
+    force_vid = jnp.int32(n // 2)
+    force = jnp.asarray([2e3, 0.0, 0.0], jnp.float32)
+
     def frame(st):
-        st = sim.sim_step(consts, st)
-        p_def, F, dF = sim.get_ip_info(consts, st)
-        pack = beam_bend.pack_for(bst, 
-            p_def, consts.ip_pos.astype(jnp.float32), F, dF)
-        out = interactive.render_frame(ist, pw, pack, p_def, pose_j, intr,
-                                       H, W, jnp.float32(1.0))
-        return st, out
+        return pipeline.interactive_frame_step(
+            ist, consts, st, pw, pose_j, intr, H, W, jnp.float32(1.0),
+            force_vid, force)
 
     state, out = frame(state)           # compile + warm, full sync
     _ = float(jnp.sum(out["tiles_image"]))
+    drops = {k: int(out[k]) for k in
+             ("dropped_beam", "dropped_window", "n_tile_overflow")}
 
     # pipelined steady state: frames chain through sim state; one final sync
     # (a GUI displays frames asynchronously the same way). Every frame's
@@ -101,6 +107,20 @@ def main() -> None:
         fps_reps.append(n_frames / (time.perf_counter() - t0))
     fps = float(np.median(fps_reps))
 
+    # solver-only throughput (BASELINE.md axis 2)
+    @jax.jit
+    def sim_loop(st, r):
+        def body(i, s):
+            return sim.sim_step(consts, s)
+        return jax.lax.fori_loop(0, r, body, st)
+
+    st2 = sim_loop(state, 5)
+    jax.block_until_ready(st2.ddof)
+    t0 = time.perf_counter()
+    st2 = sim_loop(st2, 50)
+    _ = float(jnp.sum(st2.ddof))
+    steps_per_s = 50 / (time.perf_counter() - t0)
+
     # Reference interactive setpoint: 80 ms/frame at 1/4-downscaled
     # resolution (nerf/gui.py:606-611) = 12.5 FPS at ~400x400. Compare by
     # pixel throughput at each system's interactive operating point.
@@ -108,12 +128,17 @@ def main() -> None:
     ours_px_rate = fps * (H * W)
     print(json.dumps({
         "metric": f"coupled sim+deformed-render FPS @ full {H}x{W} "
-                  f"(sphere stand-in for chair demo, num_seek_IP=3; "
-                  f"vs_baseline = pixel-rate ratio vs reference's 12.5 FPS "
-                  f"at its 1/4-downscale interactive setpoint)",
+                  f"(sphere stand-in for chair demo, num_seek_IP=3, driven "
+                  f"IP drag force; vs_baseline = pixel-rate ratio vs "
+                  f"reference's 12.5 FPS at its 1/4-downscale interactive "
+                  f"setpoint)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(ours_px_rate / baseline_px_rate, 3),
+        "extras": {
+            "solver_steps_per_s": round(steps_per_s, 1),
+            "capacity_drops_frame0": drops,
+        },
     }))
 
 

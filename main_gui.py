@@ -92,28 +92,48 @@ def main():
 
     import time as _time
 
+    from pienerf_tpu.render import pipeline
+
+    fused = cfg.max_iter_num == 1   # fast-Newton pack -> fused tile kernel
+
     with FrameSink(n_threads=2) as sink:
         if not native_available():
             print("[framesink] native encoder not built "
                   "(run native/build.sh); using python fallback")
         t_prev = _time.perf_counter()
         for i in range(ns.frames):
-            state = sim.update_force(consts, state, jnp.maximum(fvid, 0),
-                                     fvec) \
-                if int(fvid) >= 0 else sim.clear_force(state)
-            state = sim.sim_step(consts, state)
-            p_def, F, dF = sim.get_ip_info(consts, state)
-            if not bool(jnp.isfinite(p_def).all()):
-                raise SystemExit(
-                    f"simulation diverged at frame {i} (NaN IP positions); "
-                    "tune --sim_dt / --kres / mass / lam,mu (the local-"
-                    "global scheme is conditionally stable, matching the "
-                    "CUDA reference)")
-            pack = beam_bend.pack_for(bst, 
-                p_def, consts.ip_pos.astype(jnp.float32), F, dF)
-            out = interactive.render_frame(
-                ist, pw, pack, p_def, jnp.asarray(cam.pose), cam.intrinsics,
-                H, W, jnp.float32(1.0), cut_bounds)
+            if fused:
+                # single-jit coupled step (force + sim + pack + fused
+                # bend/field/composite kernel) — see render/pipeline.py
+                state, out = pipeline.interactive_frame_step(
+                    ist, consts, state, pw, jnp.asarray(cam.pose),
+                    cam.intrinsics, H, W, jnp.float32(1.0), fvid, fvec,
+                    cut_bounds)
+                p_def = None
+                if i % 10 == 0 or cfg.timing_on:
+                    if not bool(jnp.isfinite(out["tiles_ws"]).all()):
+                        raise SystemExit(
+                            f"simulation diverged at frame {i}; tune "
+                            "--sim_dt / --kres / mass / lam,mu (the local-"
+                            "global scheme is conditionally stable, "
+                            "matching the CUDA reference)")
+            else:
+                state = sim.update_force(consts, state, jnp.maximum(fvid, 0),
+                                         fvec) \
+                    if int(fvid) >= 0 else sim.clear_force(state)
+                state = sim.sim_step(consts, state)
+                p_def, F, dF = sim.get_ip_info(consts, state)
+                if not bool(jnp.isfinite(p_def).all()):
+                    raise SystemExit(
+                        f"simulation diverged at frame {i} (NaN IP "
+                        "positions); tune --sim_dt / --kres / mass / lam,mu "
+                        "(the local-global scheme is conditionally stable, "
+                        "matching the CUDA reference)")
+                pack = beam_bend.pack_for(bst,
+                    p_def, consts.ip_pos.astype(jnp.float32), F, dF)
+                out = interactive.render_frame(
+                    ist, pw, pack, p_def, jnp.asarray(cam.pose),
+                    cam.intrinsics, H, W, jnp.float32(1.0), cut_bounds)
             img = interactive.tiles_to_image(out["tiles_image"], H, W,
                                              ist.tile)
             sink.push(os.path.join(ns.out_dir, f"frame_{i:04d}.png"),

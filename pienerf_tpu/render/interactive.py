@@ -24,7 +24,7 @@ import numpy as np
 
 from pienerf_tpu.models import network
 from pienerf_tpu.ops import beam_bend
-from pienerf_tpu.ops.pallas import field_kernel
+from pienerf_tpu.ops.pallas import field_kernel, tile_kernel
 
 
 class InteractiveSettings(NamedTuple):
@@ -244,6 +244,147 @@ def render_frame(
 
     return {"tiles_image": frame, "tiles_depth": fdepth, "tiles_ws": fws,
             "n_active": act_n}
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "H", "W"))
+def render_frame_fused(
+    settings: InteractiveSettings,
+    packed_w: jax.Array,
+    ip_pack: jax.Array,            # [nIP, 16] fast pack (max_iter_num == 1)
+    p_def: jax.Array,              # [nIP, 3]
+    pose: jax.Array,               # [4, 4]
+    intrinsics: Tuple[float, float, float, float],
+    H: int,
+    W: int,
+    bg_color: jax.Array,
+    cut_bounds: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Fused-kernel frame: XLA does tile activity + candidate prep; the
+    Pallas tile kernel (ops/pallas/tile_kernel.py) does bend -> field ->
+    composite per tile with early termination and inactive-slot skip.
+
+    Semantics match render_frame except the per-sample candidate set: the
+    kernel considers the full Ks+2-bin depth window (a superset of the
+    XLA path's 3 adjacent bins), so nearest-IP selection can only improve.
+    Capacity overflow is counted, not silent: see the returned
+    ``dropped_beam`` / ``dropped_window`` / ``n_tile_overflow`` scalars.
+
+    Requires settings.bend.max_iter_num == 1 (chair demo config; deeper
+    Newton falls back to render_frame) and ip_pack in the 16-float fast
+    layout.
+    """
+    st = settings
+    ts = st.tile
+    assert ts == 16, "fused kernel is specialized to 16x16 tiles"
+    assert ip_pack.shape[1] == tile_kernel.PACK_FAST, (
+        "fused path needs beam_bend.pack_ip_data_fast rows")
+    n_tiles = (H // ts) * (W // ts)
+    T2 = ts * ts
+    K = st.samples
+    a_cap = int(n_tiles * st.active_frac)
+    a_cap = max(st.tile_chunk, (a_cap // st.tile_chunk) * st.tile_chunk)
+
+    marg = 1e-3
+    if st.cut:
+        bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
+        bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
+    else:
+        bbmin = jnp.min(p_def, axis=0) - marg
+        bbmax = jnp.max(p_def, axis=0) + marg
+
+    # --- tile activity + compaction (as render_frame)
+    all_tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
+    near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
+    hit_tile = jnp.any(near_all < 1e30, axis=1)
+
+    rank = jnp.cumsum(hit_tile) - 1
+    take = hit_tile & (rank < a_cap)
+    act_ids = jnp.zeros((a_cap,), jnp.int32)
+    act_ids = act_ids.at[jnp.where(take, rank, a_cap)].set(
+        jnp.where(take, all_tids, 0), mode="drop")
+    act_n = jnp.sum(take)
+    act_mask = jnp.arange(a_cap) < act_n
+    n_tile_overflow = jnp.sum(hit_tile) - act_n
+
+    # --- per-active-tile ray data
+    o_, d = _tile_rays(act_ids, st, H, W, pose, intrinsics)
+    near, far = _near_far(o_, d, bbmin, bbmax, st.min_near)
+    thit = near < 1e30
+    t0 = jnp.min(jnp.where(thit, near, jnp.inf), axis=1)
+    t1 = jnp.max(jnp.where(thit, far, -jnp.inf), axis=1)
+    any_hit = jnp.isfinite(t0) & act_mask
+    t0 = jnp.where(any_hit, t0, 1.0)
+    t1 = jnp.where(any_hit, jnp.maximum(t1, t0 + 1e-3), 1.001)
+
+    dirs = jnp.zeros((a_cap, 8, T2), jnp.float32)
+    for i in range(3):
+        dirs = dirs.at[:, i, :].set(d[i])
+
+    tile_sc = jnp.zeros((a_cap, 8), jnp.float32)
+    tile_sc = tile_sc.at[:, 0].set(t0)
+    tile_sc = tile_sc.at[:, 1].set(t1)
+    tile_sc = tile_sc.at[:, 2].set(any_hit.astype(jnp.float32))
+
+    # --- candidate prep
+    if st.deformed:
+        ax = tuple(jnp.mean(d[i], axis=1) for i in range(3))
+        an = jnp.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
+        axis = jnp.stack([ax[i] / an for i in range(3)], axis=1)
+        origin = jnp.broadcast_to(o, (a_cap, 3))
+        fx = intrinsics[0]
+        tan_half = jnp.broadcast_to(jnp.float32(ts * 0.75 / fx), (a_cap,))
+        cand, bin_start, n_drop_beam = tile_kernel.prep_candidates(
+            ip_pack, p_def, origin, axis, tan_half, t0, t1,
+            n_cand=st.bend.ips_per_tile, n_bins=K + 2,
+            beam_margin=st.bend.beam_margin)
+        dropped_beam = jnp.sum(jnp.where(act_mask, n_drop_beam, 0))
+    else:
+        cand = jnp.zeros((a_cap, max(st.bend.ips_per_tile, 64),
+                          tile_kernel.PACK_FAST), jnp.float32)
+        bin_start = jnp.zeros((a_cap, K + 3), jnp.int32)
+        dropped_beam = jnp.int32(0)
+
+    params = jnp.zeros((24,), jnp.float32)
+    params = params.at[0:3].set(o)
+    params = params.at[3:6].set(bbmin)
+    params = params.at[6:9].set(bbmax)
+    params = params.at[9].set(st.T_thresh)
+    params = params.at[10].set(st.density_scale)
+    params = params.at[11].set(st.bend.ip_dx)
+    params = params.at[12].set(st.min_near)
+    if st.cut:
+        assert cut_bounds is not None
+        # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
+        params = params.at[13:19].set(cut_bounds)
+
+    out = tile_kernel.render_tiles(
+        st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
+        K=K, Ks=16, Ksb=4, Wn=min(32, st.bend.ips_per_tile),
+        num_seek=st.bend.num_seek_ip,
+        deformed=st.deformed, cut=st.cut,
+        interpret=jax.default_backend() == "cpu")
+
+    imgs = jnp.moveaxis(out[:, 0:3, :], 1, 2)                   # [A, T2, 3]
+    depths = out[:, 3, :]
+    wss = out[:, 4, :]
+    dropped_window = jnp.sum(jnp.where(act_mask, out[:, 5, 0], 0.0))
+
+    bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (3,))
+    frame = jnp.zeros((n_tiles, T2, 3), jnp.float32) + bg
+    fdepth = jnp.zeros((n_tiles, T2), jnp.float32)
+    fws = jnp.zeros((n_tiles, T2), jnp.float32)
+
+    imgs = imgs + (1.0 - wss)[..., None] * bg
+    safe_ids = jnp.where(act_mask, act_ids, n_tiles)
+    frame = frame.at[safe_ids].set(imgs, mode="drop")
+    fdepth = fdepth.at[safe_ids].set(depths, mode="drop")
+    fws = fws.at[safe_ids].set(wss, mode="drop")
+
+    return {"tiles_image": frame, "tiles_depth": fdepth, "tiles_ws": fws,
+            "n_active": act_n, "n_tile_overflow": n_tile_overflow,
+            "dropped_beam": dropped_beam,
+            "dropped_window": dropped_window.astype(jnp.int32)}
 
 
 def tiles_to_image(tiles: np.ndarray, H: int, W: int, ts: int = 16

@@ -63,6 +63,47 @@ def frame_step(
     return state, out
 
 
+@functools.partial(jax.jit, static_argnames=("settings", "H", "W"))
+def interactive_frame_step(
+    settings,                     # interactive.InteractiveSettings
+    consts: sim.SimConstants,
+    state: sim.SimState,
+    packed_w: jax.Array,          # field_kernel.pack_weights output
+    pose: jax.Array,              # [4, 4]
+    intrinsics: Tuple[float, float, float, float],
+    H: int,
+    W: int,
+    bg_color: jax.Array,
+    force_vid: jax.Array,         # [] int32; < 0 disables the force
+    force: jax.Array,             # [3]
+    cut_bounds: Optional[jax.Array] = None,
+) -> Tuple[sim.SimState, Dict[str, jax.Array]]:
+    """One coupled interactive frame through the fused tile kernel — force
+    application, sim step, IP pack, bend+field+composite — as a SINGLE jit
+    (per-call dispatch through the hosted TPU tunnel costs ~4 ms; round-1's
+    four dispatches per frame were ~16 ms of pure overhead).
+
+    Requires settings.bend.max_iter_num == 1 (fast Newton pack); callers
+    with deeper Newton use frame_step/render_frame instead.
+    """
+    from pienerf_tpu.ops import beam_bend
+    from pienerf_tpu.render import interactive
+
+    state_f = sim.update_force(consts, state, jnp.maximum(force_vid, 0), force)
+    dof_f = jnp.where(force_vid >= 0, state_f.dof_f,
+                      jnp.zeros_like(state.dof_f))
+    state = state._replace(dof_f=dof_f)
+
+    state = sim.sim_step(consts, state)
+    p_def, F, dF = sim.get_ip_info(consts, state)
+    pack = beam_bend.pack_ip_data_fast(
+        p_def, consts.ip_pos.astype(jnp.float32), F, dF)
+    out = interactive.render_frame_fused(
+        settings, packed_w, pack, p_def, pose, intrinsics, H, W,
+        bg_color, cut_bounds)
+    return state, out
+
+
 def make_frame_settings(spec, cfg, sim_dx: float) -> FrameSettings:
     """Assemble static frame settings from the shared config."""
     from pienerf_tpu.ops import bending as bend_ops

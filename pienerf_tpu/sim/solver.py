@@ -40,13 +40,21 @@ import numpy as np
 
 from pienerf_tpu.io.ply import read_physics_ply, write_ply
 from pienerf_tpu.sim import gmls
-from pienerf_tpu.sim.svd3 import svd3x3
+from pienerf_tpu.sim.svd3 import corotated_delta, svd3x3
 
 
 class SimConstants(NamedTuple):
     """Immutable per-scene data produced by sim_init (device arrays)."""
     global_inv: jax.Array      # [10K, 10K] masked regularized inverse
     mass_invt2: jax.Array      # [10K, 10K] mass matrix / dt^2 (scalar form)
+    B: jax.Array               # [3*nIP, 10K] dense F-assembly operator:
+    #   B[j*nIP + v, k*10 + a] = sum_i dNx[v,i,j,a] [IP_kernel[v,i] == k].
+    #   F_delta[v,d,j] = (B @ ddof2)[j*nIP+v, d]; the elastic rhs is the
+    #   transpose contraction of the same operator. Replaces the per-
+    #   iteration gather + einsum + segment_sum (measured 3.5 ms/iter of
+    #   padded-layout HBM traffic) with two MXU matmuls reading 2x30 MB.
+    #   O(nIP * 30 * n_k) floats — fine through ~10k IPs; a Pallas
+    #   scatter kernel is the planned path beyond that.
     rhs_gravity: jax.Array     # [K, 10, 3]
     dof_rest: jax.Array        # [K, 10, 3]
     ip_pos: jax.Array          # [nIP, 3] rest IP positions
@@ -271,6 +279,15 @@ def sim_init(
     rhs_gravity = np.zeros((n_k, 10, 3))
     np.add.at(rhs_gravity, ip_kernel.reshape(-1), grav_contrib.reshape(-1, 10, 3))
 
+    # --- dense F-assembly operator (see SimConstants.B)
+    Bop = np.zeros((3 * n_ip, dim))
+    cols = (ip_kernel[:, :, None] * 10
+            + np.arange(10)[None, None, :]).reshape(n_ip, 80)
+    vrows = np.repeat(np.arange(n_ip)[:, None], 80, axis=1)
+    for j in range(3):
+        np.add.at(Bop, (j * n_ip + vrows, cols),
+                  IP_dNx[:, :, j, :].reshape(n_ip, 80))
+
     # rest positions reconstructed through the shape functions (float64) so
     # that p_def = pts_rest + sum(Nx * ddof) is exact at rest
     dof_rest_g = dof_rest[ip_kernel]
@@ -280,6 +297,7 @@ def sim_init(
     consts = SimConstants(
         global_inv=jnp.asarray(global_inv, dtype),
         mass_invt2=jnp.asarray(mass_invt2, dtype),
+        B=jnp.asarray(Bop, dtype),
         rhs_gravity=jnp.asarray(rhs_gravity, dtype),
         dof_rest=jnp.asarray(dof_rest, dtype),
         ip_pos=jnp.asarray(ip_rest, dtype),
@@ -337,26 +355,41 @@ def deformation_gradients(consts: SimConstants, ddof: jax.Array) -> jax.Array:
 
 
 def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
-    """Segment-sum of E(dof) - E(rest): per-IP dx^3 (mu (R-I) + lam (V-I))
-    contracted with dNx. Exactly zero at rest (cuda_utils.py:83-151, delta
-    form — see module doc)."""
-    F = deformation_gradients(consts, ddof)
-    U, S, Vt = svd3x3(F)    # vectorized Jacobi; jnp.linalg.svd is ~100x
-    R = U @ Vt              # slower on TPU for small batched problems
-    Sp = volume_invariant_project(S)
-    V = U @ (Sp[..., None] * Vt)
-    eye = jnp.eye(3, dtype=ddof.dtype)
-    dP = consts.dx**3 * (
-        consts.IP_mu[:, None, None] * (R - eye)
-        + consts.IP_lam[:, None, None] * (V - eye)
-    )
-    contrib = jnp.einsum("vdj,vijx->vixd", dP, consts.IP_dNx)  # [n,8,10,3]
+    """E(dof) - E(rest): per-IP dx^3 (mu (R-I) + lam (V-I)) contracted with
+    dNx. Exactly zero at rest (cuda_utils.py:83-151, delta form — see module
+    doc).
+
+    TPU structure: F_delta and the rhs are the SAME fixed sparse operator B
+    applied forward/transposed (two MXU matmuls); the polar factors come
+    from the componentwise Jacobi SVD (svd3.corotated_delta). Round-1's
+    gather + einsum + segment_sum version of this function cost 3.5 ms/iter
+    in padded-layout HBM traffic; this is ~0.5 ms.
+    """
     n_k = ddof.shape[0]
-    return jax.ops.segment_sum(
-        contrib.reshape(-1, 10, 3),
-        consts.IP_kernel.reshape(-1),
-        num_segments=n_k,
-    )
+    n_ip = consts.ip_pos.shape[0]
+    dim = n_k * 10
+    ddof2 = ddof.reshape(dim, 3)
+    Fd = consts.B @ ddof2                                      # [3*nIP, 3]
+
+    # F[d][j] = delta_dj + Fd[(j, v), d] as [nIP] component arrays
+    F = tuple(
+        tuple(
+            Fd[j * n_ip:(j + 1) * n_ip, d] + (1.0 if d == j else 0.0)
+            for j in range(3))
+        for d in range(3))
+    dR, dV = corotated_delta(F)
+
+    dx3 = consts.dx**3
+    # dPmat[(j, v), d] = dx^3 (mu dR[d][j] + lam dV[d][j])
+    dPmat = jnp.concatenate([
+        jnp.stack([dx3 * (consts.IP_mu * dR[d][j] + consts.IP_lam * dV[d][j])
+                   for d in range(3)], axis=1)
+        for j in range(3)], axis=0)                            # [3*nIP, 3]
+
+    # transpose contraction of B (no Bt materialization)
+    rhs2 = jax.lax.dot_general(
+        consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())))
+    return rhs2.reshape(n_k, 10, 3)
 
 
 @jax.jit

@@ -72,6 +72,78 @@ def eigh3x3(A: jax.Array, sweeps: int = 6) -> Tuple[jax.Array, jax.Array]:
     return w, V
 
 
+def corotated_delta(F, eps: float = 1e-12):
+    """Corotated stress factors in pure component form.
+
+    F: 3x3 nested tuple/list of [N] arrays, F[i][j] = d phi_i / d p_j.
+    Returns (dR, dV): 3x3 nested tuples of [N] arrays with
+    dR = U V^T - I (rotation part minus identity) and
+    dV = U diag(proj(S)) V^T - I (volume-invariant projected stretch minus
+    identity), where proj is the reference's 3-step Gauss-Newton det=1
+    projection (simulator/func_utils.py:22-40).
+
+    This is the sim iteration's hot path: everything stays 15-ish [N]
+    component arrays that XLA fuses into a few VPU kernels — no [N, 3, 3]
+    intermediates (whose trailing dims pad 42x on TPU, PERF.md).
+    """
+    # A = F^T F (symmetric, 6 components)
+    a = {}
+    for i in range(3):
+        for j in range(i, 3):
+            a[(i, j)] = sum(F[k][i] * F[k][j] for k in range(3))
+    one = jnp.ones_like(a[(0, 0)])
+    zero = jnp.zeros_like(one)
+    v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
+    for _ in range(6):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            a, v = _rot(a, v, p, q)
+    w = [a[(0, 0)], a[(1, 1)], a[(2, 2)]]
+
+    # descending sort network on (w, V columns)
+    def cswap(i, j):
+        swap = w[i] < w[j]
+        w[i], w[j] = (jnp.where(swap, w[j], w[i]),
+                      jnp.where(swap, w[i], w[j]))
+        for r in range(3):
+            vi, vj = v[(r, i)], v[(r, j)]
+            v[(r, i)] = jnp.where(swap, vj, vi)
+            v[(r, j)] = jnp.where(swap, vi, vj)
+
+    cswap(0, 1)
+    cswap(0, 2)
+    cswap(1, 2)
+
+    S = [jnp.sqrt(jnp.clip(wc, 0.0, None)) for wc in w]
+
+    # U = F V S^{-1}
+    U = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for c in range(3):
+            fv = sum(F[i][j] * v[(j, c)] for j in range(3))
+            U[i][c] = fv / jnp.maximum(S[c], eps)
+
+    # volume-invariant projection of S (3 fixed Gauss-Newton steps)
+    D = [zero, zero, zero]
+    for _ in range(3):
+        s0, s1, s2 = (S[0] + D[0], S[1] + D[1], S[2] + D[2])
+        C = s0 * s1 * s2 - 1.0
+        dC = [s1 * s2, s0 * s2, s0 * s1]
+        coef = (sum(dC[c] * D[c] for c in range(3)) - C) \
+            / sum(dC[c] * dC[c] for c in range(3))
+        D = [coef * dC[c] for c in range(3)]
+    Sp = [S[c] + D[c] for c in range(3)]
+
+    dR = tuple(
+        tuple(sum(U[i][c] * v[(j, c)] for c in range(3))
+              - (1.0 if i == j else 0.0) for j in range(3))
+        for i in range(3))
+    dV = tuple(
+        tuple(sum(U[i][c] * Sp[c] * v[(j, c)] for c in range(3))
+              - (1.0 if i == j else 0.0) for j in range(3))
+        for i in range(3))
+    return dR, dV
+
+
 def svd3x3(F: jax.Array, eps: float = 1e-12
            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched SVD of [..., 3, 3]. Returns (U, S [..., 3], Vt).

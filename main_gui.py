@@ -1,10 +1,10 @@
-"""Interactive physics demo (reference: main_gui.py).
+"""Headless interactive physics demo (reference: main_gui.py).
 
 Loads a trained field + an annotated physics PLY, builds the simulator, and
-runs the coupled sim+render loop. With dearpygui installed this opens the
-interactive window (drag = spring force, space = pause — reference
-nerf/gui.py:439-952); headless environments fall back to writing an
-animation:
+runs the coupled sim+render loop, writing an animation to disk. For the
+LIVE interactive window (mouse picking, spring forces, dynamic resolution —
+reference nerf/gui.py:439-952) use main_viewer.py, which serves the same
+loop to a browser over HTTP.
 
     python main_gui.py --workspace model/chair --exp_name chair \
         --sim_dx 0.05 --num_seek_IP 3 --max_iter_num 1 \

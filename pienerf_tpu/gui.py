@@ -82,6 +82,10 @@ class InteractionState:
 
     def drag_to(self, px, py, depth, pose, intrinsics, ip_positions):
         if self.force_ip < 0:
+            # nothing held yet (e.g. the press missed the surface) — try
+            # picking where the drag currently is
+            self.start_drag(px, py, depth, pose, intrinsics, ip_positions)
+        if self.force_ip < 0:
             return np.zeros(3)
         target = screen_to_world(px, py, depth, pose, intrinsics)
         self.force = spring_force(ip_positions[self.force_ip], target,

@@ -203,7 +203,8 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         # sc_ref  [1, 1, 8]  SMEM:  t0, t1, active, pad...
         # bs_ref  [1, 1, BS] SMEM:  bin_start prefix counts (BS >= K + 3)
         # par_ref [1, 1, 24] SMEM:  o(3) bbmin(3) bbmax(3) T_thresh dscale ip_dx
-        #                        min_near cut_bounds(6)
+        #                        min_near cut_bounds(6) t_jitter (slot 19,
+        #                        in [0,1), 0.5 = bin centers; spp jitter)
         # dirs_ref [1, 8, T2] VMEM: rows 0..2 = ray dir components
         # cand_ref [1, P, 16] VMEM: depth-sorted fast-pack candidate rows
         # w_ref    [L, 64, 64] VMEM: packed MLP weights
@@ -221,6 +222,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         dscale = par_ref[0, 0, 10]
         ip_dx = par_ref[0, 0, 11]
         min_near = par_ref[0, 0, 12]
+        t_jit = par_ref[0, 0, 19]
 
         out_ref[0, :, :] = jnp.zeros((8, T2), jnp.float32)
         cum_ref[0, :] = jnp.zeros((T2,), jnp.float32)
@@ -330,7 +332,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 return xm, found
 
             def segment(s):
-                t = t0 + (s * Ks + kidx + 0.5) * dt_s            # [1, Nb]
+                t = t0 + (s * Ks + kidx + t_jit) * dt_s          # [1, Nb]
                 xf = tuple(o[i] + t * df[i] for i in range(3))
 
                 if deformed:

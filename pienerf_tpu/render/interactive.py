@@ -258,6 +258,7 @@ def render_frame_fused(
     W: int,
     bg_color: jax.Array,
     cut_bounds: Optional[jax.Array] = None,
+    t_jitter: float = 0.5,
 ) -> Dict[str, jax.Array]:
     """Fused-kernel frame: XLA does tile activity + candidate prep; the
     Pallas tile kernel (ops/pallas/tile_kernel.py) does bend -> field ->
@@ -353,6 +354,7 @@ def render_frame_fused(
     params = params.at[10].set(st.density_scale)
     params = params.at[11].set(st.bend.ip_dx)
     params = params.at[12].set(st.min_near)
+    params = params.at[19].set(t_jitter)
     if st.cut:
         assert cut_bounds is not None
         # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)

@@ -46,6 +46,23 @@ def get_rays_sampled(pose: jax.Array, intrinsics, H: int, W: int,
     return rays_o, rays_d
 
 
+def sample_patch_indices(rng: jax.Array, H: int, W: int, n: int,
+                         patch_size: int) -> jax.Array:
+    """Flat pixel indices for n // p^2 random p x p patches (LPIPS-style
+    patch training, reference nerf/utils.py:83-98: random top-left corners
+    expanded with a patch meshgrid; error-map sampling is bypassed in patch
+    mode, as in the reference)."""
+    p = patch_size
+    n_patch = max(n // (p * p), 1)
+    k1, k2 = jax.random.split(rng)
+    x0 = jax.random.randint(k1, (n_patch,), 0, H - p)
+    y0 = jax.random.randint(k2, (n_patch,), 0, W - p)
+    pi, pj = jnp.meshgrid(jnp.arange(p), jnp.arange(p), indexing="ij")
+    ix = x0[:, None] + pi.reshape(-1)[None, :]          # [np, p^2]
+    iy = y0[:, None] + pj.reshape(-1)[None, :]
+    return (ix * W + iy).reshape(-1).astype(jnp.int32)
+
+
 def sample_pixel_indices(rng: jax.Array, H: int, W: int, n: int,
                          error_map: Optional[jax.Array] = None,
                          ) -> Tuple[jax.Array, Optional[jax.Array]]:

@@ -81,10 +81,25 @@ class SSIMMeter(PSNRMeter):
 
 
 class LPIPSMeter(PSNRMeter):
-    """Placeholder parity API: measuring requires perceptual net weights."""
+    """LPIPS(alex) via train/lpips.py — needs a pretrained-weight npz
+    (not vendored; see that module's docstring for the one-line export).
+    `available()` gates use; update() raises with instructions otherwise."""
 
-    def update(self, pred, gt):  # pragma: no cover
-        raise NotImplementedError(
-            "LPIPS needs pretrained AlexNet/VGG weights which are not "
-            "vendored in this environment; use PSNR/SSIM."
-        )
+    def __init__(self):
+        super().__init__()
+        self._w = None
+
+    @staticmethod
+    def available() -> bool:
+        from pienerf_tpu.train import lpips as lp
+        return lp.available()
+
+    def update(self, pred, gt):
+        from pienerf_tpu.train import lpips as lp
+        if self._w is None:
+            self._w = lp.load_weights()    # raises with instructions
+        v = lp.lpips(np.asarray(pred)[None], np.asarray(gt)[None], self._w)
+        self.vals.append(float(np.asarray(v)[0]))
+
+    def report(self) -> str:
+        return f"LPIPS = {self.measure():.6f}"

@@ -23,7 +23,8 @@ import numpy as np
 import optax
 
 from pienerf_tpu.config import PieNeRFConfig
-from pienerf_tpu.data.rays import get_rays_sampled, sample_pixel_indices
+from pienerf_tpu.data.rays import (get_rays_sampled, sample_patch_indices,
+                                   sample_pixel_indices)
 from pienerf_tpu.io import checkpoint as ckpt_io
 from pienerf_tpu.models import network
 from pienerf_tpu.ops import grid as gridlib
@@ -51,6 +52,8 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     ema_decay: float = 0.95,
     use_fast_path: bool = False,
+    patch_size: int = 1,
+    lpips_weights: Optional[dict] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -102,6 +105,17 @@ def make_train_step(
                 )
             loss = jnp.mean((out["image"] - target) ** 2)
             per_ray = jnp.mean((out["image"] - target) ** 2, axis=-1)
+            if patch_size >= 32 and lpips_weights is not None:
+                # LPIPS needs >=32px patches (reference patch sizes:
+                # 64/32/16, but alex features collapse below 32)
+                # perceptual patch loss, 1e-3-weighted like the reference
+                # (nerf/trainer.py:207-218); rays arrive patch-major
+                from pienerf_tpu.train import lpips as lp
+                p = patch_size
+                pred = out["image"].reshape(-1, p, p, 3)
+                gt = target.reshape(-1, p, p, 3)
+                loss = loss + 1e-3 * jnp.mean(
+                    lp.lpips(pred, gt, lpips_weights))
             return loss, per_ray
 
         (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -162,9 +176,18 @@ class Trainer:
         self.grid = gridlib.init(cfg.cascade)
         # mlp backbone: train gather-free (see make_train_step)
         self._use_fast_train = self.spec.backbone == "mlp"
+        lpips_w = None
+        if cfg.patch_size > 1:
+            from pienerf_tpu.train import lpips as lp
+            if lp.available():
+                lpips_w = lp.load_weights()
+            else:
+                print("[trainer] patch mode without LPIPS weights: "
+                      "MSE-only patch loss (see train/lpips.py to enable)")
         self._train_step = make_train_step(
             self.spec, self.settings, self.optimizer,
-            use_fast_path=self._use_fast_train)
+            use_fast_path=self._use_fast_train,
+            patch_size=cfg.patch_size, lpips_weights=lpips_w)
         self._density_fn = self._make_density_fn()
 
         os.makedirs(os.path.join(self.workspace, "checkpoints"), exist_ok=True)
@@ -236,9 +259,17 @@ class Trainer:
                 self.update_extra_state()
             self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
             vi = int(jax.random.randint(k1, (), 0, B))
-            emap = self.error_map[vi] if self.error_map is not None else None
-            inds, inds_coarse = sample_pixel_indices(
-                k2, H, W, self.cfg.num_rays, emap)
+            if self.cfg.patch_size > 1:
+                # patch mode for perceptual losses (reference
+                # nerf/utils.py:83-98; bypasses the error map, as there)
+                inds = sample_patch_indices(k2, H, W, self.cfg.num_rays,
+                                            self.cfg.patch_size)
+                inds_coarse = None
+            else:
+                emap = (self.error_map[vi]
+                        if self.error_map is not None else None)
+                inds, inds_coarse = sample_pixel_indices(
+                    k2, H, W, self.cfg.num_rays, emap)
             rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
             pix = images[vi].reshape(H * W, -1)[inds]
             batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
@@ -315,8 +346,19 @@ class Trainer:
                                max_samples)
         return {"image": out["image"], "depth": out["depth"]}
 
-    def evaluate(self, dataset, n_views: Optional[int] = None) -> float:
+    def evaluate(self, dataset, n_views: Optional[int] = None,
+                 save_images: bool = True) -> float:
+        """Validation pass: PSNR + SSIM (+ LPIPS when weights present) and
+        per-view PNG dumps under <workspace>/validation (reference
+        nerf/trainer.py:748-787)."""
+        from pienerf_tpu.train.metrics import LPIPSMeter, SSIMMeter
+
         meter = PSNRMeter()
+        ssim_m = SSIMMeter()
+        lpips_m = LPIPSMeter() if LPIPSMeter.available() else None
+        out_dir = os.path.join(self.workspace, "validation")
+        if save_images:
+            os.makedirs(out_dir, exist_ok=True)
         B = len(dataset.poses)
         views = range(min(n_views or B, B))
         for vi in views:
@@ -325,7 +367,31 @@ class Trainer:
             gt = np.asarray(dataset.images[vi], np.float32)
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + 1.0 * (1 - gt[..., 3:])
-            meter.update(out["image"], gt)
+            pred = np.asarray(out["image"])
+            meter.update(pred, gt)
+            ssim_m.update(pred, gt)
+            if lpips_m is not None:
+                lpips_m.update(pred, gt)
+            if save_images:
+                from PIL import Image
+                rgb = np.clip(pred * 255, 0, 255).astype(np.uint8)
+                Image.fromarray(rgb).save(os.path.join(
+                    out_dir, f"ngp_ep{self.global_step:06d}_{vi:04d}.png"))
+                d = np.asarray(out["depth"])
+                dn = np.clip(d / max(float(d.max()), 1e-6) * 255, 0,
+                             255).astype(np.uint8)
+                Image.fromarray(dn).save(os.path.join(
+                    out_dir,
+                    f"ngp_ep{self.global_step:06d}_{vi:04d}_depth.png"))
+        msg = f"[eval] {meter.report()} | {ssim_m.report()}"
+        if lpips_m is not None:
+            msg += f" | {lpips_m.report()}"
+        self.log(msg)
+        if self.writer is not None:
+            self.writer.add_scalar("eval/psnr", meter.measure(),
+                                   self.global_step)
+            self.writer.add_scalar("eval/ssim", ssim_m.measure(),
+                                   self.global_step)
         return meter.measure()
 
     # -- geometry export -----------------------------------------------------

@@ -75,11 +75,18 @@ def render_frame_sharded(
 
     repl = P()
 
+    # fast-pack rows + single-step Newton -> the fused Pallas tile kernel
+    # runs inside shard_map too (no cross-device comm inside the kernel)
+    fused = (ip_pack.shape[1] == 16 and settings.tile == 16
+             and settings.bend.max_iter_num == 1)
+    render = (interactive.render_frame_fused if fused
+              else interactive.render_frame)
+
     def band_render(band_idx):
         # band b covers image rows [b*band_h, (b+1)*band_h): shift cy
         b = band_idx[0]
         intr_band = (fx, fy, cx, cy - b.astype(jnp.float32) * band_h)
-        out = interactive.render_frame(
+        out = render(
             settings, packed_w, ip_pack, p_def, pose, intr_band,
             band_h, W, bg_color, cut_bounds)
         img = out["tiles_image"].reshape(

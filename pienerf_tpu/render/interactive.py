@@ -360,9 +360,13 @@ def render_frame_fused(
         # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
         params = params.at[13:19].set(cut_bounds)
 
+    # MLP segment length (VMEM batch) and bend sub-window depth adapt to
+    # whatever K divides; 16/4 is the tuned 800x800 configuration
+    Ks = next(k for k in (16, 8, 4, 2, 1) if K % k == 0)
+    Ksb = 4 if Ks % 4 == 0 else Ks
     out = tile_kernel.render_tiles(
         st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
-        K=K, Ks=16, Ksb=4, Wn=min(32, st.bend.ips_per_tile),
+        K=K, Ks=Ks, Ksb=Ksb, Wn=min(32, st.bend.ips_per_tile),
         num_seek=st.bend.num_seek_ip,
         deformed=st.deformed, cut=st.cut,
         interpret=jax.default_backend() == "cpu")

@@ -71,7 +71,6 @@ def render_frame_sharded(
     fx, fy, cx, cy = intrinsics
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     repl = P()
 
@@ -99,11 +98,11 @@ def render_frame_sharded(
         jnp.arange(n_dev, dtype=jnp.int32),
         NamedSharding(mesh, P(axis)))
 
-    fn = shard_map(
+    fn = jax.shard_map(
         band_render, mesh=mesh,
         in_specs=(P(axis),),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     bands = fn(band_ids)                                      # [n_dev, bh, W, 3]
     return np.asarray(bands).reshape(H, W, 3)

@@ -54,7 +54,7 @@ def main():
 
     consts, state, aux = sim.sim_init(
         d["pos"], d["mass"], d["mu"], d["lam"], d["pin"],
-        dt=cfg.sim_dt, iters=cfg.sim_iters,
+        dt=cfg.sim_dt / cfg.sim_substeps, iters=cfg.sim_iters,
         bbox=np.array([2.0 * cfg.bound] * 3), kres=ns.kres, dx=cfg.sim_dx,
         gravity=tuple(ns.gravity), stiff=cfg.sim_stiff,
         base=np.array([-cfg.bound] * 3),
@@ -108,7 +108,7 @@ def main():
                 state, out = pipeline.interactive_frame_step(
                     ist, consts, state, pw, jnp.asarray(cam.pose),
                     cam.intrinsics, H, W, jnp.float32(1.0), fvid, fvec,
-                    cut_bounds)
+                    cut_bounds, substeps=cfg.sim_substeps)
                 p_def = None
                 if i % 10 == 0 or cfg.timing_on:
                     if not bool(jnp.isfinite(out["tiles_ws"]).all()):

@@ -67,7 +67,7 @@ def main():
     d = read_physics_ply(ply_path)
     consts, state, aux = sim.sim_init(
         d["pos"], d["mass"], d["mu"], d["lam"], d["pin"],
-        dt=cfg.sim_dt, iters=cfg.sim_iters,
+        dt=cfg.sim_dt / cfg.sim_substeps, iters=cfg.sim_iters,
         bbox=np.array([2.0 * cfg.bound] * 3), kres=ns.kres, dx=cfg.sim_dx,
         gravity=tuple(ns.gravity), stiff=cfg.sim_stiff,
         base=np.array([-cfg.bound] * 3))

@@ -93,6 +93,10 @@ class PieNeRFConfig:
     sim_dx: float = 0.05
     sim_iters: int = 10
     sim_stiff: float = 1e5
+    # TPU-build extra: advance the sim sim_substeps times per frame at
+    # dt = sim_dt / sim_substeps (finer time resolution for fast dynamics;
+    # measured envelope in tools/diverge_probe.py). 1 = reference behavior.
+    sim_substeps: int = 1
 
     # derived (set by finalize)
     hash_grid_size: float = 0.0

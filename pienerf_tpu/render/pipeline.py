@@ -31,7 +31,7 @@ class FrameSettings(NamedTuple):
     deformed: deformed.DeformedSettings
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "substeps"))
 def frame_step(
     settings: FrameSettings,
     consts: sim.SimConstants,
@@ -44,15 +44,20 @@ def frame_step(
     force_vid: jax.Array,         # [] int32; < 0 disables the force
     force: jax.Array,             # [3]
     cut_bounds: Optional[jax.Array] = None,
+    substeps: int = 1,
 ) -> Tuple[sim.SimState, Dict[str, jax.Array]]:
-    """Advance the simulation one step and render the deformed field."""
+    """Advance the simulation one step and render the deformed field.
+
+    ``substeps``: see interactive_frame_step — requires consts built at
+    dt = frame_dt / substeps."""
     # force application (reference solver.update_force / clear_force)
     state_f = sim.update_force(consts, state, jnp.maximum(force_vid, 0), force)
     dof_f = jnp.where(force_vid >= 0, state_f.dof_f,
                       jnp.zeros_like(state.dof_f))
     state = state._replace(dof_f=dof_f)
 
-    state = sim.sim_step(consts, state)
+    for _ in range(substeps):
+        state = sim.sim_step(consts, state)
     p_def, F, dF = sim.get_ip_info(consts, state)
 
     out = deformed.render_rays_deformed(
@@ -63,7 +68,8 @@ def frame_step(
     return state, out
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "H", "W"))
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "H", "W", "substeps"))
 def interactive_frame_step(
     settings,                     # interactive.InteractiveSettings
     consts: sim.SimConstants,
@@ -77,6 +83,7 @@ def interactive_frame_step(
     force_vid: jax.Array,         # [] int32; < 0 disables the force
     force: jax.Array,             # [3]
     cut_bounds: Optional[jax.Array] = None,
+    substeps: int = 1,
 ) -> Tuple[sim.SimState, Dict[str, jax.Array]]:
     """One coupled interactive frame through the fused tile kernel — force
     application, sim step, IP pack, bend+field+composite — as a SINGLE jit
@@ -85,6 +92,15 @@ def interactive_frame_step(
 
     Requires settings.bend.max_iter_num == 1 (fast Newton pack); callers
     with deeper Newton use frame_step/render_frame instead.
+
+    ``substeps``: advance the sim ``substeps`` times per rendered frame,
+    with consts built at ``dt = frame_dt / substeps`` (config
+    `--sim_substeps` does both). Finer time resolution for fast dynamics
+    at unchanged frame rate semantics. Measured envelope
+    (tools/diverge_probe.py): it does not destabilize stable configs;
+    forcing extreme enough to drag the equilibrium far outside the domain
+    still overflows f32 regardless of substepping (run those in f64 via
+    sim_init(dtype=...) or clamp forces).
     """
     from pienerf_tpu.ops import beam_bend
     from pienerf_tpu.render import interactive
@@ -94,7 +110,8 @@ def interactive_frame_step(
                       jnp.zeros_like(state.dof_f))
     state = state._replace(dof_f=dof_f)
 
-    state = sim.sim_step(consts, state)
+    for _ in range(substeps):
+        state = sim.sim_step(consts, state)
     p_def, F, dF = sim.get_ip_info(consts, state)
     pack = beam_bend.pack_ip_data_fast(
         p_def, consts.ip_pos.astype(jnp.float32), F, dF)

@@ -42,6 +42,14 @@ from pienerf_tpu.io.ply import read_physics_ply, write_ply
 from pienerf_tpu.sim import gmls
 from pienerf_tpu.sim.svd3 import corotated_delta, svd3x3
 
+# Physics matmuls must run at true f32. JAX's DEFAULT f32 matmul precision
+# on TPU is a single bf16 pass; under it the integrator NaNs within ~40
+# steps on configs that are provably stable in f32/f64
+# (tools/precision_probe.py: DEFAULT diverges by t=0.2, HIGHEST reproduces
+# the CPU trajectory exactly). All jitted contractions below pass this
+# explicitly; the renderer's bf16 MLPs are a deliberate, separate choice.
+_HI = jax.lax.Precision.HIGHEST
+
 
 class SimConstants(NamedTuple):
     """Immutable per-scene data produced by sim_init (device arrays)."""
@@ -350,7 +358,7 @@ def volume_invariant_project(sig: jax.Array) -> jax.Array:
 def deformation_gradients(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     """Batched F at every IP: F[v, d, j] = d phi_d / d p_j = I + dNx . ddof."""
     ddof_g = ddof[consts.IP_kernel]                            # [n,8,10,3]
-    dF = jnp.einsum("vija,viad->vdj", consts.IP_dNx, ddof_g)
+    dF = jnp.einsum("vija,viad->vdj", consts.IP_dNx, ddof_g, precision=_HI)
     return dF + jnp.eye(3, dtype=ddof.dtype)
 
 
@@ -369,7 +377,7 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     n_ip = consts.ip_pos.shape[0]
     dim = n_k * 10
     ddof2 = ddof.reshape(dim, 3)
-    Fd = consts.B @ ddof2                                      # [3*nIP, 3]
+    Fd = jnp.matmul(consts.B, ddof2, precision=_HI)            # [3*nIP, 3]
 
     # F[d][j] = delta_dj + Fd[(j, v), d] as [nIP] component arrays
     F = tuple(
@@ -388,7 +396,8 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
 
     # transpose contraction of B (no Bt materialization)
     rhs2 = jax.lax.dot_general(
-        consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())))
+        consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=_HI)
     return rhs2.reshape(n_k, 10, 3)
 
 
@@ -405,14 +414,16 @@ def sim_step(consts: SimConstants, state: SimState) -> SimState:
 
     ddof_tilde = state.ddof + consts.dt * state.dof_vel
     momentum = (
-        (consts.mass_invt2 @ ddof_tilde.reshape(dim, 3)).reshape(n_k, 10, 3)
+        jnp.matmul(consts.mass_invt2, ddof_tilde.reshape(dim, 3),
+                   precision=_HI).reshape(n_k, 10, 3)
         + state.dof_f
         + consts.rhs_gravity
     )
 
     def body(_, ddof):
         rhs = momentum + rhs_elastic_delta(consts, ddof)
-        return (consts.global_inv @ rhs.reshape(dim, 3)).reshape(n_k, 10, 3)
+        return jnp.matmul(consts.global_inv, rhs.reshape(dim, 3),
+                          precision=_HI).reshape(n_k, 10, 3)
 
     ddof = jax.lax.fori_loop(0, consts.iters, body, state.ddof)
     vel = (ddof - state.ddof) / consts.dt * 0.998
@@ -429,11 +440,13 @@ def get_ip_info(consts: SimConstants, state: SimState
     F[d,c] = d phi_d/d p_c and dF[j,d,c] = d^2 phi_d/(d p_c d p_j).
     """
     ddof_g = state.ddof[consts.IP_kernel]                      # [n,8,10,3]
-    p = consts.ip_pos + jnp.einsum("via,viad->vd", consts.IP_Nx, ddof_g)
+    p = consts.ip_pos + jnp.einsum("via,viad->vd", consts.IP_Nx, ddof_g,
+                                   precision=_HI)
     F = jnp.eye(3, dtype=p.dtype) + jnp.einsum(
-        "vica,viad->vdc", consts.IP_dNx, ddof_g
+        "vica,viad->vdc", consts.IP_dNx, ddof_g, precision=_HI
     )
-    dF = jnp.einsum("vijca,viad->vjdc", consts.IP_ddNx, ddof_g)
+    dF = jnp.einsum("vijca,viad->vjdc", consts.IP_ddNx, ddof_g,
+                    precision=_HI)
     return p.astype(jnp.float32), F.astype(jnp.float32), dF.astype(jnp.float32)
 
 
@@ -457,7 +470,8 @@ def clear_force(state: SimState) -> SimState:
 def point_positions(consts: SimConstants, state: SimState) -> jax.Array:
     """Deformed material-point positions (reference solver.py:604-617)."""
     ddof_g = state.ddof[consts.pts_kernel]
-    return consts.pts_rest + jnp.einsum("via,viad->vd", consts.pts_Nx, ddof_g)
+    return consts.pts_rest + jnp.einsum("via,viad->vd", consts.pts_Nx,
+                                        ddof_g, precision=_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -469,8 +483,14 @@ class Simulator:
 
     def __init__(self, dt=1e-2, iters=20, bbox=(1.0, 1.0, 1.0), kres=7,
                  dx=1.0, gravity=(0.0, -9.8, 0.0), stiff=1e5,
-                 base=(-0.5, -0.5, -0.5), dtype=jnp.float32):
-        self._cfg = dict(dt=dt, iters=iters, bbox=np.asarray(bbox, np.float64),
+                 base=(-0.5, -0.5, -0.5), dtype=jnp.float32, substeps=1):
+        # substeps: run `substeps` inner steps of dt/substeps per
+        # stepforward() call — finer time resolution for fast dynamics
+        # (measured envelope: tools/diverge_probe.py). 1 = reference
+        # behavior.
+        self.substeps = int(substeps)
+        self._cfg = dict(dt=dt / self.substeps, iters=iters,
+                         bbox=np.asarray(bbox, np.float64),
                          kres=kres, dx=dx, gravity=gravity, stiff=stiff,
                          base=np.asarray(base, np.float64), dtype=dtype)
         self.consts: Optional[SimConstants] = None
@@ -489,7 +509,8 @@ class Simulator:
         )
 
     def stepforward(self) -> None:
-        self.state = sim_step(self.consts, self.state)
+        for _ in range(self.substeps):
+            self.state = sim_step(self.consts, self.state)
 
     def get_IP_info(self):
         return get_ip_info(self.consts, self.state)

@@ -170,6 +170,9 @@ def svd3x3(F: jax.Array, eps: float = 1e-12
     w, V = cswap(w, V, 1, 2)
 
     S = jnp.sqrt(jnp.clip(w, 0.0, None))
-    FV = jnp.einsum("...ij,...jk->...ik", F, V)
+    # true-f32 contraction: DEFAULT matmul precision is bf16 on TPU, which
+    # is not accurate enough for the integrator (see solver._HI)
+    FV = jnp.einsum("...ij,...jk->...ik", F, V,
+                    precision=jax.lax.Precision.HIGHEST)
     U = FV / jnp.maximum(S[..., None, :], eps)
     return U, S, jnp.swapaxes(V, -1, -2)

@@ -362,7 +362,8 @@ def run_sim_viewer(cfg, consts, state, ist, packed_w, cut_bounds=None,
             else:
                 state, out = pipeline.interactive_frame_step(
                     ist, consts, state, packed_w, jnp.asarray(cam.pose),
-                    intr, h, w, jnp.float32(1.0), fvid, fvec, cut_bounds)
+                    intr, h, w, jnp.float32(1.0), fvid, fvec, cut_bounds,
+                    substeps=getattr(cfg, "sim_substeps", 1))
                 p_def_host = None     # sim moved; re-fetch on next pick
 
             T2 = ist.tile * ist.tile

@@ -254,6 +254,26 @@ def test_force_pulls_body():
     assert dx_move.mean() > 1e-5
 
 
+def test_substeps_facade_matches_manual_substepping():
+    """Simulator(substeps=2).stepforward == two sim_steps at dt/2."""
+    pos, mass, mu, lam, pin = _cube_cloud()
+    pin = pos[:, 1] > 0.65
+    kw = dict(iters=5, bbox=np.array([1.0, 1.0, 1.0]), kres=4, dx=0.2,
+              gravity=(0.0, -9.8, 0.0), stiff=1e5,
+              base=np.array([0.0, 0.0, 0.0]))
+
+    s = solver.Simulator(dt=1e-2, substeps=2, **{k: v for k, v in kw.items()
+                                                 if k != "bbox"},
+                         bbox=kw["bbox"])
+    s.initialize(pos, mass, mu, lam, pin)
+    s.stepforward()
+
+    consts, state, _ = sim_init(pos, mass, mu, lam, pin, dt=5e-3, **kw)
+    state = sim_step(consts, sim_step(consts, state))
+    np.testing.assert_allclose(np.asarray(s.state.ddof),
+                               np.asarray(state.ddof), atol=1e-6)
+
+
 def test_pinned_spring_drag_stays_bounded():
     """A pinned body dragged by the GUI's spring force law (reference
     nerf/gui.py:570-576: f = k (target - p), k = 1e5, clamped) must hold a

@@ -29,6 +29,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# true-f32 contractions: DEFAULT f32 matmul precision on TPU is one bf16
+# pass; the one-hot data fetch in particular must not truncate the fetched
+# candidate rows (positions / F entries) to bf16 (see sim/solver._HI)
+_HI = jax.lax.Precision.HIGHEST
+
 PACK = 48
 PACK_FAST = 16
 
@@ -123,7 +128,7 @@ def select_tile_candidates(
 
     cand_pack = ip_pack[ids]                                    # [C, P, 48]
     cand_proj = jnp.einsum("cpd,cd->cp", cand_pack[..., :3] - origin[:, None, :],
-                           axis)
+                           axis, precision=_HI)
     return cand_pack, cand_proj, mask
 
 
@@ -263,7 +268,7 @@ def bend_tile_samples(
         onehot = (sidx == j[:, None, :, :]).astype(bins.dtype)  # [C,3B,T2,K]
         onehot = onehot * has[:, None, :, :]
         # fetch candidate rows: [width, C, T2, K]
-        sel = jnp.einsum("cstk,cksp->pctk", onehot, win)
+        sel = jnp.einsum("cstk,cksp->pctk", onehot, win, precision=_HI)
         if fast:
             # p_rest = p_ori + F^{-1} (x - p_def): exact single Newton step
             pd, po, Fi = sel[0:3], sel[3:6], sel[6:15]

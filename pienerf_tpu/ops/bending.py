@@ -41,6 +41,11 @@ import jax.numpy as jnp
 
 from pienerf_tpu.ops import spatial_hash as sh
 
+# Newton inversion is the exactness reference for the flagship kernel;
+# DEFAULT f32 matmul precision on TPU is a single bf16 pass, which would
+# silently truncate F/q to ~3 decimal digits (see sim/solver._HI).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _inv3x3(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Batched closed-form 3x3 inverse. Returns (A_inv, ok mask)."""
@@ -165,14 +170,14 @@ def newton_invert(
 
     def body(_, carry):
         q, alive = carry
-        dFq = jnp.einsum("mkjdc,mkj->mkdc", dF_k, q)            # (dF . q)
+        dFq = jnp.einsum("mkjdc,mkj->mkdc", dF_k, q, precision=_HI)
         J = F_k + dFq
         J_inv, ok = _inv3x3(J)
         # residual g(q) = F q + 1/2 (dF.q) q - q_target
-        Fq = jnp.einsum("mkdc,mkc->mkd", F_k, q)
-        dFq_q = jnp.einsum("mkdc,mkc->mkd", dFq, q)
+        Fq = jnp.einsum("mkdc,mkc->mkd", F_k, q, precision=_HI)
+        dFq_q = jnp.einsum("mkdc,mkc->mkd", dFq, q, precision=_HI)
         r = Fq + 0.5 * dFq_q - q_target
-        dq = jnp.einsum("mkdc,mkc->mkd", J_inv, r)
+        dq = jnp.einsum("mkdc,mkc->mkd", J_inv, r, precision=_HI)
         step_ok = ok & alive
         q_new = jnp.where(step_ok[..., None], q - dq, q)
         converged = jnp.sum(dq * dq, axis=-1) < 1e-12
@@ -239,6 +244,6 @@ def bend_points(
     wsum = jnp.sum(w, axis=1)
     found = wsum > 0
     w = w / jnp.maximum(wsum, 1e-30)[:, None]
-    x_rest = jnp.einsum("mk,mkd->md", w, p_rest)
+    x_rest = jnp.einsum("mk,mkd->md", w, p_rest, precision=_HI)
     x_rest = jnp.where(found[:, None], x_rest, x)
     return x_rest, found

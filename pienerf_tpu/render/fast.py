@@ -53,7 +53,10 @@ def sample_pdf(t_mid: jax.Array, weights: jax.Array, n_samples: int,
     below = jnp.clip(inds - 1, 0, cdf.shape[1] - 1)
     above = jnp.clip(inds, 0, cdf.shape[1] - 1)
 
-    # one-hot contractions instead of gathers (K is small)
+    # one-hot contractions instead of gathers (K is small). These stay at
+    # DEFAULT matmul precision deliberately: they only position importance
+    # samples (bf16 jitter in t is below the stratification noise), and
+    # this runs in the training hot loop.
     k = cdf.shape[1]
     oh_b = jax.nn.one_hot(below, k, dtype=cdf.dtype)            # [N, S, K]
     oh_a = jax.nn.one_hot(above, k, dtype=cdf.dtype)

@@ -42,6 +42,11 @@ class InteractiveSettings(NamedTuple):
     #                                rest statically (reference
     #                                raymarching.cu:1197-1212, y-typo fixed)
     bound: float = 1.0             # scene bound (cut mode ray extent)
+    seg_samples: int = 16          # fused kernel: depth samples per MLP
+    #                                segment (early-termination granularity;
+    #                                must divide `samples`)
+    bend_sub: int = 4              # fused kernel: depth samples per bend
+    #                                sub-window (must divide seg_samples)
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -360,10 +365,14 @@ def render_frame_fused(
         # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
         params = params.at[13:19].set(cut_bounds)
 
-    # MLP segment length (VMEM batch) and bend sub-window depth adapt to
-    # whatever K divides; 16/4 is the tuned 800x800 configuration
-    Ks = next(k for k in (16, 8, 4, 2, 1) if K % k == 0)
-    Ksb = 4 if Ks % 4 == 0 else Ks
+    # MLP segment length (VMEM batch) and bend sub-window depth; the
+    # settings defaults (16/4) are the tuned 800x800 configuration, with a
+    # fallback for K values they don't divide
+    if K % st.seg_samples == 0:
+        Ks = st.seg_samples
+    else:
+        Ks = next(k for k in (16, 8, 4, 2, 1) if K % k == 0)
+    Ksb = st.bend_sub if Ks % st.bend_sub == 0 else Ks
     out = tile_kernel.render_tiles(
         st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
         K=K, Ks=Ks, Ksb=Ksb, Wn=min(32, st.bend.ips_per_tile),

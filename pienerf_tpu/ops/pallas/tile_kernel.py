@@ -64,13 +64,24 @@ def prep_candidates(
     n_cand: int,             # P candidate capacity per tile
     n_bins: int,             # K + 2 (1-bin halo each side)
     beam_margin: float,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    tighten_margin: float = 0.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Depth-sorted beam candidates + per-bin prefix counts.
 
     Returns (cand [A, P, 16] sorted by depth along the beam axis with
     invalid rows pushed to the end, bin_start [A, n_bins+1] int32 prefix
-    counts aligned to bin edges t0 + (j-1)*dt, n_dropped [A] candidates
-    past the P capacity).
+    counts aligned to bin edges t0e + (j-1)*dt, n_dropped [A] candidates
+    past the P capacity, t0e [A], t1e [A]).
+
+    ``tighten_margin`` > 0 crops each tile's depth range [t0, t1] to its
+    candidates' projection span +- the margin before binning. In deformed
+    (non-cut) rendering, a sample farther than the bend-reject reach from
+    every candidate is provably unfound (sigma = 0), so cropping to the
+    span is lossless — it concentrates the K samples on the object
+    (finer quadrature) instead of the whole march box. Returned t0e/t1e
+    are the effective range (== t0/t1 when the margin is 0 or a tile has
+    no candidates); callers MUST sample with them since the bins are built
+    against them.
     """
     P = n_cand
     # componentwise beam test — materializing [A, nIP, 3] pads the trailing
@@ -113,9 +124,19 @@ def prep_candidates(
     cand = cand.at[..., PACK_FAST - 1].set(
         jnp.where(valid, cand[..., PACK_FAST - 1], 0.0))
 
-    # prefix counts at bin edges: edge_j = t0 + (j - 1) * dt, j = 0..n_bins
-    dt = (t1 - t0) / (n_bins - 2)
-    edges = (t0[:, None]
+    if tighten_margin > 0.0:
+        pmin = cproj[:, 0]                     # sorted ascending, valid first
+        pmax = jnp.max(jnp.where(valid, cproj, -jnp.inf), axis=1)
+        has = count > 0
+        t0e = jnp.where(has, jnp.maximum(t0, pmin - tighten_margin), t0)
+        t1e = jnp.where(has, jnp.minimum(t1, pmax + tighten_margin), t1)
+        t1e = jnp.maximum(t1e, t0e + 1e-3)
+    else:
+        t0e, t1e = t0, t1
+
+    # prefix counts at bin edges: edge_j = t0e + (j - 1) * dt, j = 0..n_bins
+    dt = (t1e - t0e) / (n_bins - 2)
+    edges = (t0e[:, None]
              + (jnp.arange(n_bins + 1, dtype=jnp.float32)[None, :] - 1.0)
              * dt[:, None])                                     # [A, n_bins+1]
     bin_start = jnp.sum(cproj[:, :, None] < edges[:, None, :],
@@ -125,7 +146,7 @@ def prep_candidates(
     # on wide-FOV tiles) — count them as dropped rather than silently
     # unreachable
     n_dropped = n_dropped + bin_start[:, 0] + (count - bin_start[:, -1])
-    return cand, bin_start, n_dropped
+    return cand, bin_start, n_dropped, t0e, t1e
 
 
 # ---------------------------------------------------------------------------

@@ -42,11 +42,21 @@ class InteractiveSettings(NamedTuple):
     #                                rest statically (reference
     #                                raymarching.cu:1197-1212, y-typo fixed)
     bound: float = 1.0             # scene bound (cut mode ray extent)
-    seg_samples: int = 16          # fused kernel: depth samples per MLP
+    seg_samples: int = 8           # fused kernel: depth samples per MLP
     #                                segment (early-termination granularity;
-    #                                must divide `samples`)
+    #                                must divide `samples`). Ablation at
+    #                                800x800 (tools/micro_seg.py): 8 -> 41.1
+    #                                FPS vs 16 -> 39.1 (finer termination
+    #                                beats per-segment overhead), 32 -> 37.8
     bend_sub: int = 4              # fused kernel: depth samples per bend
     #                                sub-window (must divide seg_samples)
+    tighten_sampling: bool = False  # fused kernel, deformed non-cut mode:
+    #                                crop each tile's depth range to its
+    #                                candidates' span (+3*ip_dx margin)
+    #                                before distributing the K samples —
+    #                                lossless (out-of-span samples are
+    #                                provably unfound) and concentrates
+    #                                quadrature on the object
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -340,10 +350,16 @@ def render_frame_fused(
         origin = jnp.broadcast_to(o, (a_cap, 3))
         fx = intrinsics[0]
         tan_half = jnp.broadcast_to(jnp.float32(ts * 0.75 / fx), (a_cap,))
-        cand, bin_start, n_drop_beam = tile_kernel.prep_candidates(
+        # cut mode must march the full range (outside cut_bounds renders
+        # the static scene, which has density anywhere in the box)
+        tmarg = 3.0 * st.bend.ip_dx if (st.tighten_sampling
+                                        and not st.cut) else 0.0
+        cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
             ip_pack, p_def, origin, axis, tan_half, t0, t1,
             n_cand=st.bend.ips_per_tile, n_bins=K + 2,
-            beam_margin=st.bend.beam_margin)
+            beam_margin=st.bend.beam_margin, tighten_margin=tmarg)
+        tile_sc = tile_sc.at[:, 0].set(t0)
+        tile_sc = tile_sc.at[:, 1].set(t1)
         dropped_beam = jnp.sum(jnp.where(act_mask, n_drop_beam, 0))
     else:
         cand = jnp.zeros((a_cap, max(st.bend.ips_per_tile, 64),
@@ -366,8 +382,9 @@ def render_frame_fused(
         params = params.at[13:19].set(cut_bounds)
 
     # MLP segment length (VMEM batch) and bend sub-window depth; the
-    # settings defaults (16/4) are the tuned 800x800 configuration, with a
-    # fallback for K values they don't divide
+    # settings defaults (8/4) are the tuned 800x800 configuration
+    # (tools/micro_seg.py ablation), with a fallback for K values they
+    # don't divide
     if K % st.seg_samples == 0:
         Ks = st.seg_samples
     else:

@@ -49,10 +49,12 @@ def test_prep_candidates_sorted_and_binned():
     A, P, nb = 3, 64, 34
     origin = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (A, 1))
     axis = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (A, 1))
-    cand, bs, nd = tile_kernel.prep_candidates(
+    cand, bs, nd, t0e, t1e = tile_kernel.prep_candidates(
         pack, p_def, origin, axis, jnp.full((A,), 0.02),
         jnp.full((A,), 1.5), jnp.full((A,), 3.5),
         n_cand=P, n_bins=nb, beam_margin=0.08)
+    np.testing.assert_allclose(np.asarray(t0e), 1.5)   # margin 0: unchanged
+    np.testing.assert_allclose(np.asarray(t1e), 3.5)
     assert cand.shape == (A, P, 16) and bs.shape == (A, nb + 1)
     # depth-sorted: valid rows have non-decreasing projection
     proj = np.asarray(jnp.einsum("apd,ad->ap", cand[..., :3] - origin[:, None],
@@ -159,6 +161,57 @@ def test_tile_overflow_counted():
     assert int(out["n_tile_overflow"]) > 0
 
 
+def test_prep_candidates_tighten_margin():
+    """tighten_margin crops [t0, t1] to the candidate projection span and
+    falls back to the original range when a tile has no candidates."""
+    p_def, p_ori, F, dF = _ip_grid(dx=0.1)
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    A = 2
+    origin = jnp.asarray([[0.0, 0.0, -2.5], [0.0, 0.0, -2.5]])
+    # tile 0 points through the cloud; tile 1 misses it entirely
+    axis = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    t0 = jnp.full((A,), 0.5)
+    t1 = jnp.full((A,), 5.0)
+    cand, bs, nd, t0e, t1e = tile_kernel.prep_candidates(
+        pack, p_def, origin, axis, jnp.full((A,), 0.02), t0, t1,
+        n_cand=64, n_bins=34, beam_margin=0.08, tighten_margin=0.2)
+    # tile 0: cloud spans z in [-0.45-eps, 0.45+eps] -> proj in ~[2.05, 2.95]
+    assert float(t0e[0]) > 1.5 and float(t1e[0]) < 3.5
+    assert float(t0e[0]) < 2.06 and float(t1e[0]) > 2.94  # span + margin kept
+    # tile 1: no candidates -> untouched
+    assert float(t0e[1]) == 0.5 and float(t1e[1]) == 5.0
+    # every valid candidate lies inside the binned range
+    valid = np.asarray(cand[0, :, 15]) > 0
+    proj = np.asarray(cand[0, :, 2]) + 2.5    # axis = +z from z=-2.5
+    assert np.all(proj[valid] >= float(t0e[0]) - 0.1)
+    assert np.all(proj[valid] <= float(t1e[0]) + 0.1)
+    assert int(np.asarray(bs)[0, -1]) == valid.sum()
+
+
+def test_fused_tightened_frame_matches_untightened():
+    """tighten_sampling concentrates the K samples on the object; the frame
+    must stay close to the untightened one (same integrand support, finer
+    quadrature) and corners must remain background."""
+    ist, pw = _settings(dx=0.1)
+    p_def, p_ori, F, dF = _ip_grid(dx=0.1, shift=(0.1, 0.0, 0.0))
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    H = W = 64
+    intr = (64.0, 64.0, W / 2, H / 2)
+    out_a = interactive.render_frame_fused(
+        ist, pw, pack, p_def, _pose(), intr, H, W, jnp.float32(1.0))
+    out_b = interactive.render_frame_fused(
+        ist._replace(tighten_sampling=True), pw, pack, p_def, _pose(), intr,
+        H, W, jnp.float32(1.0))
+    img_a = interactive.tiles_to_image(np.asarray(out_a["tiles_image"]), H, W)
+    img_b = interactive.tiles_to_image(np.asarray(out_b["tiles_image"]), H, W)
+    assert np.all(np.isfinite(img_b))
+    assert abs(img_b[0, 0, 0] - 1.0) < 1e-5
+    p = psnr(img_a, img_b)
+    assert p > 25.0, f"tightened-vs-untightened PSNR {p}"
+    # and it is not a no-op: some pixels must differ (finer quadrature)
+    assert float(np.abs(img_a - img_b).max()) > 1e-4
+
+
 def test_fused_vs_exact_bending_found_samples():
     """On found samples the fused kernel's mapped positions must agree with
     the exact 27-cell k-NN bending (ops/bending) for a pure translation:
@@ -172,7 +225,7 @@ def test_fused_vs_exact_bending_found_samples():
     K = 32
     t0 = jnp.full((A,), 1.8)
     t1 = jnp.full((A,), 3.2)
-    cand, bs, nd = tile_kernel.prep_candidates(
+    cand, bs, nd, _, _ = tile_kernel.prep_candidates(
         pack, p_def, origin, axis, jnp.full((A,), 0.02), t0, t1,
         n_cand=64, n_bins=K + 2, beam_margin=0.12)
 

@@ -133,6 +133,63 @@ def make_train_step(
     return train_step
 
 
+def make_train_chunk(
+    train_step: Callable,
+    H: int,
+    W: int,
+    intrinsics,
+    num_rays: int,
+    patch_size: int = 1,
+    use_error_map: bool = False,
+) -> Callable:
+    """Scan `n_steps` full training iterations inside ONE jit.
+
+    Round-1 weakness: the python loop dispatched ~8 eager device ops per
+    step (view randint + host int(), index sampling, ray gen, pixel
+    gather, error-map EMA) plus a float(loss) sync — each dispatch costs
+    ~4 ms through the hosted TPU tunnel. Here view choice, sampling, ray
+    generation, pixel gather, the optimizer step, and the error-map EMA
+    all live in a single lax.scan; the host syncs once per chunk.
+
+    Returns chunk(state, bitfield, poses, images, error_map, rng, n_steps)
+    -> (state, error_map, losses [n_steps]).
+    """
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def chunk(state, bitfield, poses, images, error_map, rng, n_steps: int):
+        B = poses.shape[0]
+        imgs_flat = images.reshape(B, H * W, images.shape[-1])
+
+        def body(carry, k):
+            st, emap = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            vi = jax.random.randint(k1, (), 0, B)
+            if patch_size > 1:
+                inds = sample_patch_indices(k2, H, W, num_rays, patch_size)
+                coarse = None
+            elif use_error_map:
+                inds, coarse = sample_pixel_indices(k2, H, W, num_rays,
+                                                    emap[vi])
+            else:
+                inds, coarse = sample_pixel_indices(k2, H, W, num_rays)
+            rays_o, rays_d = get_rays_sampled(poses[vi], intrinsics, H, W,
+                                              inds)
+            pix = imgs_flat[vi][inds]
+            batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
+            st, m = train_step(st, bitfield, batch, k3)
+            if coarse is not None:
+                err = 0.9 * emap[vi][coarse] + 0.1 * m["per_ray_loss"]
+                emap = emap.at[vi, coarse].set(err)
+            return (st, emap), m["loss"]
+
+        keys = jax.random.split(rng, n_steps)
+        (state, error_map), losses = jax.lax.scan(
+            body, (state, error_map), keys)
+        return state, error_map, losses
+
+    return chunk
+
+
 class Trainer:
     """Workflow facade (reference nerf/trainer.py Trainer)."""
 
@@ -237,53 +294,59 @@ class Trainer:
         self.grid = gridlib.mark_untrained(self.grid, poses, intrinsics,
                                            self.cfg.bound)
 
+    def _get_train_chunk(self, H: int, W: int, intrinsics) -> Callable:
+        key = (H, W, tuple(float(v) for v in intrinsics),
+               bool(self.cfg.error_map))
+        if getattr(self, "_chunk_key", None) != key:
+            self._chunk_fn = make_train_chunk(
+                self._train_step, H, W, intrinsics, self.cfg.num_rays,
+                patch_size=self.cfg.patch_size,
+                use_error_map=bool(self.cfg.error_map))
+            self._chunk_key = key
+        return self._chunk_fn
+
     def train_iterations(self, dataset, n_iters: int) -> float:
         """Run n_iters steps sampling random views from `dataset`.
 
         dataset: object with poses [B,4,4] np, images [B,H,W,C] np,
         intrinsics (fx,fy,cx,cy), H, W.
+
+        The whole iteration (view choice, sampling, ray gen, pixel gather,
+        optimizer step, error-map EMA) runs device-side via
+        make_train_chunk; the host syncs once per sub-chunk (the density-
+        grid refresh cadence for the occupancy path, ~100 steps for the
+        gather-free fast path).
         """
         losses = []
         poses = jnp.asarray(dataset.poses, jnp.float32)
         images = jnp.asarray(dataset.images, jnp.float32)
-        intr = dataset.intrinsics
         H, W = dataset.H, dataset.W
         B = poses.shape[0]
 
         if self.cfg.error_map and self.error_map is None:
             self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
+        chunk_fn = self._get_train_chunk(H, W, dataset.intrinsics)
+        sub = (self.cfg.update_extra_interval if not self._use_fast_train
+               else 100)
 
-        for _ in range(n_iters):
+        done = 0
+        while done < n_iters:
             if (not self._use_fast_train
                     and self.global_step % self.cfg.update_extra_interval == 0):
                 self.update_extra_state()
-            self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
-            vi = int(jax.random.randint(k1, (), 0, B))
-            if self.cfg.patch_size > 1:
-                # patch mode for perceptual losses (reference
-                # nerf/utils.py:83-98; bypasses the error map, as there)
-                inds = sample_patch_indices(k2, H, W, self.cfg.num_rays,
-                                            self.cfg.patch_size)
-                inds_coarse = None
-            else:
-                emap = (self.error_map[vi]
-                        if self.error_map is not None else None)
-                inds, inds_coarse = sample_pixel_indices(
-                    k2, H, W, self.cfg.num_rays, emap)
-            rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
-            pix = images[vi].reshape(H * W, -1)[inds]
-            batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
-            self.state, m = self._train_step(self.state, self.grid.bitfield,
-                                             batch, k3)
-            if inds_coarse is not None:
-                # EMA refresh of the sampled cells
-                # (reference nerf/trainer.py:225-246)
-                err = 0.9 * self.error_map[vi][inds_coarse] \
-                    + 0.1 * m["per_ray_loss"]
-                self.error_map = self.error_map.at[vi, inds_coarse].set(err)
-            self.global_step += 1
-            losses.append(float(m["loss"]))
-            if self.writer is not None and self.global_step % 50 == 0:
+            n = min(sub, n_iters - done)
+            if not self._use_fast_train:
+                n = min(n, self.cfg.update_extra_interval
+                        - self.global_step % self.cfg.update_extra_interval)
+            self.rng, k = jax.random.split(self.rng)
+            self.state, self.error_map, loss_arr = chunk_fn(
+                self.state, self.grid.bitfield, poses, images,
+                self.error_map, k, n_steps=int(n))
+            self.global_step += int(n)
+            done += int(n)
+            loss_np = np.asarray(loss_arr)       # ONE sync per sub-chunk
+            losses.append(float(loss_np.mean()))
+            if self.writer is not None:
                 self.writer.add_scalar("train/loss", losses[-1],
                                        self.global_step)
         return float(np.mean(losses))

@@ -75,6 +75,7 @@ def main():
         spec=trainer.spec, bend=bst, tile=16, samples=64,
         min_near=cfg.min_near, T_thresh=cfg.T_thresh,
         cut=cfg.cut, bound=cfg.bound,
+        tighten_sampling=cfg.tighten_sampling,
     )
     cut_bounds = (jnp.asarray(cfg.cut_bounds, jnp.float32)
                   if cfg.cut else None)

@@ -97,6 +97,10 @@ class PieNeRFConfig:
     # dt = sim_dt / sim_substeps (finer time resolution for fast dynamics;
     # measured envelope in tools/diverge_probe.py). 1 = reference behavior.
     sim_substeps: int = 1
+    # TPU-build extra: crop each tile's march range to its bend-candidate
+    # span before sampling (lossless in deformed non-cut mode; concentrates
+    # quadrature on the object — PERF.md "Sampling density").
+    tighten_sampling: bool = False
 
     # derived (set by finalize)
     hash_grid_size: float = 0.0
@@ -155,7 +159,7 @@ class PieNeRFConfig:
 
 _BOOL_FLAGS = {
     "O", "test", "cuda_ray", "fp16", "ff", "tcnn", "preload", "gui",
-    "error_map", "cut", "timing_on", "output_ply",
+    "error_map", "cut", "timing_on", "output_ply", "tighten_sampling",
 }
 
 

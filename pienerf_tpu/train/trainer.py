@@ -326,8 +326,12 @@ class Trainer:
         if self.cfg.error_map and self.error_map is None:
             self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
         chunk_fn = self._get_train_chunk(H, W, dataset.intrinsics)
+        # 25-step scan for the fast path: the hosted remote-compile service
+        # crashed on a 100-step chunk program (tools/micro_train2.py); 25
+        # amortizes dispatch overhead to noise while staying well inside
+        # compile limits
         sub = (self.cfg.update_extra_interval if not self._use_fast_train
-               else 100)
+               else 25)
 
         done = 0
         while done < n_iters:

@@ -311,12 +311,26 @@ class Trainer:
         dataset: object with poses [B,4,4] np, images [B,H,W,C] np,
         intrinsics (fx,fy,cx,cy), H, W.
 
-        The whole iteration (view choice, sampling, ray gen, pixel gather,
-        optimizer step, error-map EMA) runs device-side via
-        make_train_chunk; the host syncs once per sub-chunk (the density-
-        grid refresh cadence for the occupancy path, ~100 steps for the
-        gather-free fast path).
+        Two execution strategies:
+        - scanned (default): the whole iteration (view choice, sampling,
+          ray gen, pixel gather, optimizer step, error-map EMA) runs
+          device-side via make_train_chunk; the host syncs once per
+          sub-chunk.
+        - eager (hosted-tunnel fallback): one jitted step per iteration
+          with eager sampling ops around it. The hosted `axon` TPU
+          worker reproducibly crashes ("kernel fault") EXECUTING the
+          scanned chunk program at any scan length, while the same
+          program runs fine on CPU meshes and the eager path ran the
+          whole of round 1 on the tunnel — so on that platform we fall
+          back. Override with PIENERF_TRAIN_SCAN=1/0.
         """
+        use_scan = os.environ.get("PIENERF_TRAIN_SCAN")
+        if use_scan is not None:
+            use_scan = use_scan != "0"
+        else:
+            use_scan = jax.default_backend() != "axon"
+        if not use_scan:
+            return self._train_iterations_eager(dataset, n_iters)
         losses = []
         poses = jnp.asarray(dataset.poses, jnp.float32)
         images = jnp.asarray(dataset.images, jnp.float32)
@@ -326,12 +340,13 @@ class Trainer:
         if self.cfg.error_map and self.error_map is None:
             self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
         chunk_fn = self._get_train_chunk(H, W, dataset.intrinsics)
-        # 25-step scan for the fast path: the hosted remote-compile service
-        # crashed on a 100-step chunk program (tools/micro_train2.py); 25
-        # amortizes dispatch overhead to noise while staying well inside
-        # compile limits
+        # 8-step scan for the fast path: the hosted TPU backend's compile
+        # latency grows sharply with this program's scan length (the
+        # remote-compile service crashed outright at 100 steps and
+        # thrashed at 25 — tools/micro_train2.py); at ~40 ms/step even 8
+        # amortizes the ~4 ms dispatch to sub-ms noise
         sub = (self.cfg.update_extra_interval if not self._use_fast_train
-               else 25)
+               else 8)
 
         done = 0
         while done < n_iters:
@@ -351,6 +366,49 @@ class Trainer:
             loss_np = np.asarray(loss_arr)       # ONE sync per sub-chunk
             losses.append(float(loss_np.mean()))
             if self.writer is not None:
+                self.writer.add_scalar("train/loss", losses[-1],
+                                       self.global_step)
+        return float(np.mean(losses))
+
+    def _train_iterations_eager(self, dataset, n_iters: int) -> float:
+        """Per-step loop (see train_iterations: hosted-tunnel fallback)."""
+        losses = []
+        poses = jnp.asarray(dataset.poses, jnp.float32)
+        images = jnp.asarray(dataset.images, jnp.float32)
+        intr = dataset.intrinsics
+        H, W = dataset.H, dataset.W
+        B = poses.shape[0]
+
+        if self.cfg.error_map and self.error_map is None:
+            self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
+
+        for _ in range(n_iters):
+            if (not self._use_fast_train
+                    and self.global_step % self.cfg.update_extra_interval == 0):
+                self.update_extra_state()
+            self.rng, k1, k2, k3 = jax.random.split(self.rng, 4)
+            vi = int(jax.random.randint(k1, (), 0, B))
+            if self.cfg.patch_size > 1:
+                inds = sample_patch_indices(k2, H, W, self.cfg.num_rays,
+                                            self.cfg.patch_size)
+                inds_coarse = None
+            else:
+                emap = (self.error_map[vi]
+                        if self.error_map is not None else None)
+                inds, inds_coarse = sample_pixel_indices(
+                    k2, H, W, self.cfg.num_rays, emap)
+            rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
+            pix = images[vi].reshape(H * W, -1)[inds]
+            batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
+            self.state, m = self._train_step(self.state, self.grid.bitfield,
+                                             batch, k3)
+            if inds_coarse is not None:
+                err = 0.9 * self.error_map[vi][inds_coarse] \
+                    + 0.1 * m["per_ray_loss"]
+                self.error_map = self.error_map.at[vi, inds_coarse].set(err)
+            self.global_step += 1
+            losses.append(float(m["loss"]))
+            if self.writer is not None and self.global_step % 50 == 0:
                 self.writer.add_scalar("train/loss", losses[-1],
                                        self.global_step)
         return float(np.mean(losses))

@@ -17,7 +17,7 @@ cfg = PieNeRFConfig(
 tr = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
 tr.mark_untrained_grid(ds.poses, ds.intrinsics)
 
-tr.train_iterations(ds, 25)                      # compile 25-step chunk
+tr.train_iterations(ds, 8)                       # compile the sub-chunk
 for rep in range(3):
     t0 = time.perf_counter()
     loss = tr.train_iterations(ds, 200)

@@ -31,6 +31,20 @@ def test_error_map_training(tmp_path, small_scene):
     assert np.isfinite(em).all()
 
 
+def test_eager_train_fallback_matches_interface(tmp_path, small_scene,
+                                                monkeypatch):
+    """The hosted-tunnel eager loop (PIENERF_TRAIN_SCAN=0) must train with
+    the same interface/bookkeeping as the default scanned path."""
+    monkeypatch.setenv("PIENERF_TRAIN_SCAN", "0")
+    cfg = _cfg(tmp_path / "ws_eager", error_map=True)
+    t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    loss = t.train_iterations(small_scene, 6)
+    assert np.isfinite(loss)
+    assert t.global_step == 6
+    assert t.error_map is not None and np.isfinite(
+        np.asarray(t.error_map)).all()
+
+
 def test_test_gui_bridge(tmp_path, small_scene):
     cfg = _cfg(tmp_path / "ws2")
     t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)

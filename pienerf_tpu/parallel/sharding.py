@@ -108,6 +108,70 @@ def render_frame_sharded(
     return np.asarray(bands).reshape(H, W, 3)
 
 
+def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):
+    """Shard the simulator across the mesh by integration points.
+
+    The per-step cost is HBM-bandwidth on the dense F-assembly operator
+    ``B`` [3*nIP, 10K] (PERF.md "Sim scaling": 236 MB at 24k IPs, ~6 ms on
+    one chip). Sharding B's rows over the mesh splits that bandwidth
+    n_devices-ways: the forward product B @ ddof is row-local, the
+    transpose contraction B^T @ dP reduces over the sharded rows — GSPMD
+    inserts ONE psum of the small [10K, 3] result over ICI. The kernel-node
+    arrays (dof state, global inverse) are small and replicate.
+
+    Returns (consts_sharded, step) where step(consts_sharded, state) is the
+    jitted sharded sim_step; state stays replicated so the renderer and
+    force application are unchanged. consts_sharded pads the IP axis of
+    the step's operands to the mesh size — use it ONLY with `step`; keep
+    the original consts for get_ip_info / update_force / rendering.
+    """
+    from pienerf_tpu.sim import solver as sim
+
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(axis))
+    n_dev = mesh.devices.size
+
+    # pad the IP dimension to a multiple of the mesh so B's rows split
+    # evenly. Padded IPs have mu = lam = 0, so their dP contribution is
+    # exactly zero in both the forward product and the transpose
+    # contraction; the only deviation from the single-device trajectory is
+    # f32 reduction order across the psum (~1e-5 relative per step).
+    n_ip = consts.ip_pos.shape[0]
+    n_pad = -(-n_ip // n_dev) * n_dev
+    if n_pad != n_ip:
+        pad = n_pad - n_ip
+        dim = consts.B.shape[1]
+        b3 = consts.B.reshape(3, n_ip, dim)
+        b3 = jnp.pad(b3, ((0, 0), (0, pad), (0, 0)))
+        consts = consts._replace(
+            B=b3.reshape(3 * n_pad, dim),
+            ip_pos=jnp.pad(consts.ip_pos, ((0, pad), (0, 0))),
+            IP_mu=jnp.pad(consts.IP_mu, (0, pad)),
+            IP_lam=jnp.pad(consts.IP_lam, (0, pad)),
+        )
+
+    def spec_for(name):
+        return rows if name == "B" else repl
+
+    consts_shardings = type(consts)(
+        **{f: spec_for(f) for f in consts._fields})
+    consts_sh = jax.tree_util.tree_map(
+        lambda leaf, sh: jax.device_put(leaf, sh)
+        if hasattr(leaf, "shape") else leaf,
+        consts, consts_shardings)
+
+    state_repl = sim.SimState(ddof=repl, dof_vel=repl, dof_f=repl)
+
+    step = jax.jit(
+        sim.sim_step,
+        in_shardings=(jax.tree_util.tree_map(
+            lambda leaf, sh: sh if hasattr(leaf, "shape") else None,
+            consts, consts_shardings), state_repl),
+        out_shardings=state_repl,
+    )
+    return consts_sh, step
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):
     """Wrap a (state, bitfield, batch, rng) train step with explicit
     shardings: batch sharded on `axis`, everything else replicated.

@@ -83,7 +83,7 @@ def main():
         num_seek_ip=cfg.num_seek_IP, max_iter_num=1,
         ip_dx=1.05 * cfg.sim_dx, ips_per_tile=256)
     ist = interactive.InteractiveSettings(
-        spec=trainer.spec, bend=bst, tile=16, samples=64,
+        spec=trainer.spec, bend=bst, tile=16, samples=cfg.render_samples,
         min_near=cfg.min_near, T_thresh=cfg.T_thresh,
         cut=cfg.cut, bound=cfg.bound,
         tighten_sampling=cfg.tighten_sampling)

@@ -101,6 +101,10 @@ class PieNeRFConfig:
     # span before sampling (lossless in deformed non-cut mode; concentrates
     # quadrature on the object — PERF.md "Sampling density").
     tighten_sampling: bool = False
+    # TPU-build extra: depth samples per ray in the interactive tile path —
+    # the quality/rate slider (PERF.md "Sampling density": 64 -> 42 FPS,
+    # 128 + tighten -> +2 dB at 26 FPS, 32 + tighten -> 57 FPS).
+    render_samples: int = 64
 
     # derived (set by finalize)
     hash_grid_size: float = 0.0

@@ -450,7 +450,7 @@ def run_train_viewer(trainer, train_loader, port: int = 7007,
 
     bst = beam_bend.BeamBendSettings(num_seek_ip=1, max_iter_num=1)
     ist = ia.InteractiveSettings(
-        spec=trainer.spec, bend=bst, tile=16, samples=64,
+        spec=trainer.spec, bend=bst, tile=16, samples=cfg.render_samples,
         active_frac=1.0, tile_chunk=16, min_near=cfg.min_near,
         T_thresh=cfg.T_thresh, deformed=False, bound=cfg.bound)
     dummy_pack = jnp.zeros((1, 16), jnp.float32)

@@ -172,6 +172,16 @@ def test_cut_bounds_interactive_end_to_end():
     # rows near the top of the image see only |y| > 0.2 world space
     np.testing.assert_allclose(img_t[:8], img_st[:8], atol=1e-4)
 
+    # tighten_sampling must be a no-op in cut mode: the static scene
+    # outside cut_bounds has density anywhere in the march box, so the
+    # range-crop guard disables (render_frame_fused sets tighten_margin=0)
+    out_tt = interactive.render_frame_fused(
+        ist_cut._replace(tighten_sampling=True), pw, pack, p_def, pose_j,
+        intr, H, W, jnp.float32(1.0), cut_tight)
+    img_tt = interactive.tiles_to_image(
+        np.asarray(out_tt["tiles_image"]), H, W, 16)
+    np.testing.assert_allclose(img_tt, img_t, atol=1e-6)
+
 
 def test_cascade2_golden_frame():
     """Deterministic cascade-2 regression frame (committed golden)."""

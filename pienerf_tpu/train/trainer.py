@@ -329,8 +329,14 @@ class Trainer:
             use_scan = use_scan != "0"
         else:
             use_scan = jax.default_backend() != "axon"
-        if not use_scan:
-            return self._train_iterations_eager(dataset, n_iters)
+        # large real datasets (e.g. 100 x 800^2 rgba) should not be
+        # force-resident in HBM; keep them on host and gather the sampled
+        # pixels per step instead (round-1 weakness #7 footgun)
+        max_dev = float(os.environ.get("PIENERF_MAX_DEVICE_DATASET", 2e9))
+        host_images = np.asarray(dataset.images).nbytes > max_dev
+        if not use_scan or host_images:
+            return self._train_iterations_eager(dataset, n_iters,
+                                                host_images=host_images)
         losses = []
         poses = jnp.asarray(dataset.poses, jnp.float32)
         images = jnp.asarray(dataset.images, jnp.float32)
@@ -370,11 +376,18 @@ class Trainer:
                                        self.global_step)
         return float(np.mean(losses))
 
-    def _train_iterations_eager(self, dataset, n_iters: int) -> float:
-        """Per-step loop (see train_iterations: hosted-tunnel fallback)."""
+    def _train_iterations_eager(self, dataset, n_iters: int,
+                                host_images: bool = False) -> float:
+        """Per-step loop (see train_iterations: hosted-tunnel fallback and
+        large-dataset mode — with host_images the full image set stays in
+        host RAM and only each step's sampled pixels transfer)."""
         losses = []
         poses = jnp.asarray(dataset.poses, jnp.float32)
-        images = jnp.asarray(dataset.images, jnp.float32)
+        if host_images:
+            images_np = np.asarray(dataset.images, np.float32)
+            images = None
+        else:
+            images = jnp.asarray(dataset.images, jnp.float32)
         intr = dataset.intrinsics
         H, W = dataset.H, dataset.W
         B = poses.shape[0]
@@ -398,7 +411,11 @@ class Trainer:
                 inds, inds_coarse = sample_pixel_indices(
                     k2, H, W, self.cfg.num_rays, emap)
             rays_o, rays_d = get_rays_sampled(poses[vi], intr, H, W, inds)
-            pix = images[vi].reshape(H * W, -1)[inds]
+            if host_images:
+                pix = jnp.asarray(
+                    images_np[vi].reshape(H * W, -1)[np.asarray(inds)])
+            else:
+                pix = images[vi].reshape(H * W, -1)[inds]
             batch = {"rays_o": rays_o, "rays_d": rays_d, "pixels": pix}
             self.state, m = self._train_step(self.state, self.grid.bitfield,
                                              batch, k3)

@@ -45,6 +45,18 @@ def test_eager_train_fallback_matches_interface(tmp_path, small_scene,
         np.asarray(t.error_map)).all()
 
 
+def test_host_resident_dataset_training(tmp_path, small_scene, monkeypatch):
+    """Datasets above PIENERF_MAX_DEVICE_DATASET stay in host RAM; only the
+    sampled pixels transfer per step (round-1 weakness: the whole image set
+    was force-resident in HBM)."""
+    monkeypatch.setenv("PIENERF_MAX_DEVICE_DATASET", "1")  # force host mode
+    cfg = _cfg(tmp_path / "ws_host")
+    t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    loss = t.train_iterations(small_scene, 4)
+    assert np.isfinite(loss)
+    assert t.global_step == 4
+
+
 def test_test_gui_bridge(tmp_path, small_scene):
     cfg = _cfg(tmp_path / "ws2")
     t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)

@@ -51,7 +51,10 @@ def test_end_to_end_training_fits_scene(tmp_path):
     trainer.train_iterations(ds, 300)
 
     p = trainer.evaluate(test_ds, n_views=1)
-    assert p > 17.0, f"novel-view PSNR too low: {p}"
+    # bar calibrated below the measured RNG-stream spread (16.8-17.6 dB
+    # over seeds/sampling streams at 300 iters; an untrained field sits
+    # ~6 dB lower) so the test detects pipeline breakage, not stream luck
+    assert p > 16.3, f"novel-view PSNR too low: {p}"
 
     # checkpoint roundtrip preserves eval quality
     path = trainer.save_checkpoint()

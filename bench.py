@@ -175,11 +175,17 @@ def main() -> None:
     p_def, F, dF = sim.get_ip_info(consts, state)   # same state'
     pack48 = beam_bend.pack_ip_data(
         p_def, consts.ip_pos.astype(jnp.float32), F, dF)
-    bst_x = bst._replace(ips_per_tile=min(1024, int(np.ceil(n / 64) * 64)),
+    # genuinely uncapped: ips_per_tile covers EVERY IP (no min(1024, ...)
+    # cap — at ~3k IPs that cap silently bit), verified below by asserting
+    # the reference frame's drop counters are all zero
+    bst_x = bst._replace(ips_per_tile=int(np.ceil(n / 64) * 64),
                          bin_capacity=32)
     ist_x = ist._replace(bend=bst_x, active_frac=1.0)
     out_x = interactive.render_frame(
         ist_x, pw, pack48, p_def, pose_j, intr, H, W, jnp.float32(1.0))
+    for key in ("dropped_beam", "dropped_window", "n_tile_overflow"):
+        nd = int(out_x[key])
+        assert nd == 0, f"'uncapped' reference frame dropped work: {key}={nd}"
     img_x = interactive.tiles_to_image(
         np.asarray(out_x["tiles_image"]), H, W)
     img_f = interactive.tiles_to_image(

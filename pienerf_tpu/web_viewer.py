@@ -461,6 +461,8 @@ def run_train_viewer(trainer, train_loader, port: int = 7007,
     spp = 0
     accum = None
     fps_hist = []
+    pw = None
+    pw_step = -1
     poses = getattr(train_loader, "poses", None)
     pose_idx = 0
     n_frames = 0
@@ -508,8 +510,13 @@ def run_train_viewer(trainer, train_loader, port: int = 7007,
                 s, h, w = min(buckets, key=lambda b: abs(b[0] - s_target))
                 intr = (cam.intrinsics[0] * w / W,
                         cam.intrinsics[1] * h / H, w / 2, h / 2)
-                pw = field_kernel.pack_weights(trainer.state.ema_params,
-                                               trainer.spec)
+                # re-pack MLP weights only when the params changed (one
+                # training burst = one step-version bump) — packing every
+                # frame wasted a dispatch through the tunnel per spp pass
+                if pw is None or pw_step != trainer.global_step:
+                    pw = field_kernel.pack_weights(trainer.state.ema_params,
+                                                   trainer.spec)
+                    pw_step = trainer.global_step
                 jit_t = 0.5 if spp == 0 else float(
                     np.random.default_rng(spp).uniform())
                 t0 = time.perf_counter()

@@ -71,13 +71,13 @@ def dev_timed(fn, R=8, reps=3):
     return float(np.median(ts))
 
 def prep_only(x):
-    cand, bs, nd = tile_kernel.prep_candidates(
+    cand, bs, nd, _, _ = tile_kernel.prep_candidates(
         pack, p_def + x*1e-20, origin, axis, tan_half, t0v, t1v,
         n_cand=192, n_bins=K+2, beam_margin=bst.beam_margin)
     return x + jnp.sum(cand[:, 0, 0]) * 1e-12 + jnp.sum(bs[:, 0]).astype(jnp.float32)*1e-12
 print(f"prep_candidates (A=1248): {dev_timed(prep_only)*1e3:.2f} ms")
 
-cand, bs, nd = jax.jit(lambda: tile_kernel.prep_candidates(
+cand, bs, nd, _, _ = jax.jit(lambda: tile_kernel.prep_candidates(
     pack, p_def, origin, axis, tan_half, t0v, t1v,
     n_cand=192, n_bins=K+2, beam_margin=bst.beam_margin))()
 dirs = jnp.zeros((A, 8, T2), jnp.float32)

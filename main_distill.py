@@ -16,6 +16,11 @@ def main():
     parser.add_argument("--steps", type=int, default=4000)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--distill_lr", type=float, default=5e-3)
+    parser.add_argument("--student_width", type=int, default=128,
+                        choices=(64, 128),
+                        help="student MLP width; 128 fills the MXU tile "
+                             "(~4x capacity at the same fused-kernel "
+                             "matmul wall time)")
     from pienerf_tpu.config import get_shared_opts
     cfg = get_shared_opts(parser)
     ns, _ = parser.parse_known_args()
@@ -31,7 +36,8 @@ def main():
 
     s_params, s_spec, loss = distill.distill(
         teacher.state.ema_params, teacher.spec,
-        steps=ns.steps, batch=ns.batch, lr=ns.distill_lr, log_fn=teacher.log)
+        steps=ns.steps, batch=ns.batch, lr=ns.distill_lr, log_fn=teacher.log,
+        student_width=ns.student_width)
     diag = distill.field_agreement(teacher.state.ema_params, teacher.spec,
                                    s_params, s_spec)
     teacher.log(f"[distill] agreement: {diag}")

@@ -36,19 +36,30 @@ def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return out
 
 
-def pack_weights(params, spec: network.NetworkSpec):
-    """Pad all layer weights to [64, 64] tiles and stack them.
+def kernel_width(spec: network.NetworkSpec) -> int:
+    """MXU tile width for the fused kernels: 64 for the classic student,
+    128 when any hidden layer is wider (128-wide students fill the whole
+    128x128 systolic array — ~4x capacity at the same matmul wall time)."""
+    wd = max(64, spec.hidden_dim, spec.hidden_dim_color, spec.sigma_in_dim)
+    assert wd <= 128, f"fused kernel supports widths <= 128, got {wd}"
+    return 64 if wd <= 64 else 128
 
-    sigma net: enc(51 padded 64) -> 64 -> ... -> 16(padded 64)
-    color net: (16 SH + 15 geo = 31, padded 64) -> 64 -> 64 -> 3(padded 64)
+
+def pack_weights(params, spec: network.NetworkSpec):
+    """Pad all layer weights to [Wd, Wd] tiles and stack them (Wd = 64 or
+    128, see kernel_width).
+
+    sigma net: enc(3+6*n_freqs, padded) -> hidden -> ... -> 16(padded)
+    color net: (16 SH + 15 geo = 31, padded) -> hidden -> ... -> 3(padded)
     """
     assert spec.backbone == "mlp", "fused kernel supports the mlp backbone"
+    wd = kernel_width(spec)
     ws = []
     for w in params["sigma_net"]:
-        ws.append(_pad_to(np.asarray(w, np.float32), 64, 64))
+        ws.append(_pad_to(np.asarray(w, np.float32), wd, wd))
     for w in params["color_net"]:
-        ws.append(_pad_to(np.asarray(w, np.float32), 64, 64))
-    return jnp.asarray(np.stack(ws))   # [L_total, 64, 64]
+        ws.append(_pad_to(np.asarray(w, np.float32), wd, wd))
+    return jnp.asarray(np.stack(ws))   # [L_total, Wd, Wd]
 
 
 def _freq_encode_block(x0, x1, x2, n_freqs, bound, dtype):
@@ -89,7 +100,7 @@ def _sh4_block(d0, d1, d2, dtype):
 
 
 def _make_kernel(spec: network.NetworkSpec, n_sigma: int, n_color: int,
-                 compute_dtype):
+                 compute_dtype, wd: int = 64):
     n_freqs = spec.n_freqs
     bound = spec.bound
 
@@ -99,10 +110,10 @@ def _make_kernel(spec: network.NetworkSpec, n_sigma: int, n_color: int,
         enc = _freq_encode_block(x0, x1, x2, n_freqs, bound, dt)  # [F, Nb]
         f = enc.shape[0]
         nb = enc.shape[1]
-        h = jnp.concatenate([enc, jnp.zeros((64 - f, nb), dt)], axis=0)
+        h = jnp.concatenate([enc, jnp.zeros((wd - f, nb), dt)], axis=0)
 
         for li in range(n_sigma):
-            w = w_ref[li].astype(dt)                              # [64, 64]
+            w = w_ref[li].astype(dt)                              # [Wd, Wd]
             h = jax.lax.dot_general(
                 w, h, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -114,7 +125,7 @@ def _make_kernel(spec: network.NetworkSpec, n_sigma: int, n_color: int,
         geo = h[1:16, :]                                          # [15, Nb]
 
         sh = _sh4_block(d_ref[0, :], d_ref[1, :], d_ref[2, :], dt)  # [16, Nb]
-        hc = jnp.concatenate([sh, geo, jnp.zeros((33, nb), dt)], axis=0)
+        hc = jnp.concatenate([sh, geo, jnp.zeros((wd - 31, nb), dt)], axis=0)
 
         for li in range(n_color):
             w = w_ref[n_sigma + li].astype(dt)
@@ -153,11 +164,12 @@ def _field_eval(packed_w, spec, x, d, block_n, interpret):
     n_sigma = len_sigma = spec.num_layers
     n_color = spec.num_layers_color
     dtype = jnp.dtype(spec.compute_dtype)
+    wd = packed_w.shape[-1]
 
     xs = jnp.stack(x, axis=0)          # [3, N]
     ds = jnp.stack(d, axis=0)
 
-    kernel = _make_kernel(spec, n_sigma, n_color, dtype)
+    kernel = _make_kernel(spec, n_sigma, n_color, dtype, wd=wd)
     grid = (n // block_n,)
     out = pl.pallas_call(
         kernel,
@@ -167,7 +179,7 @@ def _field_eval(packed_w, spec, x, d, block_n, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_sigma + n_color, 64, 64), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_sigma + n_color, wd, wd), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, block_n), lambda i: (0, i),

@@ -130,6 +130,10 @@ def prep_candidates(
         has = count > 0
         t0e = jnp.where(has, jnp.maximum(t0, pmin - tighten_margin), t0)
         t1e = jnp.where(has, jnp.minimum(t1, pmax + tighten_margin), t1)
+        # keep the tightened range inside the original interval even when a
+        # tile's only candidates sit in the beam-margin zone beyond t1
+        # (possible when beam_margin > tighten_margin)
+        t0e = jnp.minimum(t0e, t1 - 1e-3)
         t1e = jnp.maximum(t1e, t0e + 1e-3)
     else:
         t0e, t1e = t0, t1
@@ -215,7 +219,7 @@ def _sh4_rows(x, y, z, dtype):
 
 
 def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
-                 deformed, cut, compute_dtype):
+                 deformed, cut, compute_dtype, wd=64):
     n_seg = K // Ks
     Nb = T2 * Ks
 
@@ -228,7 +232,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         #                        in [0,1), 0.5 = bin centers; spp jitter)
         # dirs_ref [1, 8, T2] VMEM: rows 0..2 = ray dir components
         # cand_ref [1, P, 16] VMEM: depth-sorted fast-pack candidate rows
-        # w_ref    [L, 64, 64] VMEM: packed MLP weights
+        # w_ref    [L, Wd, Wd] VMEM: packed MLP weights (Wd = 64 or 128)
         # out_ref  [1, 8, T2]: rgb(3) depth ws drop_cnt pad pad
         # cum_ref  [1, T2] VMEM scratch: accumulated optical depth
         # st_ref   [2] SMEM scratch: alive flag, dropped-candidate count
@@ -385,7 +389,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                                  spec.n_freqs, spec.bound, cdt)
                 f = enc.shape[0]
                 h = jnp.concatenate(
-                    [enc, jnp.zeros((64 - f, Nb), cdt)], axis=0)
+                    [enc, jnp.zeros((wd - f, Nb), cdt)], axis=0)
                 for li in range(n_sigma):
                     h = jax.lax.dot_general(
                         w_ref[li].astype(cdt), h,
@@ -399,7 +403,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
 
                 sh = _sh4_rows(df[0], df[1], df[2], cdt)
                 hc = jnp.concatenate(
-                    [sh, geo, jnp.zeros((33, Nb), cdt)], axis=0)
+                    [sh, geo, jnp.zeros((wd - 31, Nb), cdt)], axis=0)
                 for li in range(n_color):
                     hc = jax.lax.dot_general(
                         w_ref[n_sigma + li].astype(cdt), hc,
@@ -461,7 +465,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
 )
 def render_tiles(
     spec: network.NetworkSpec,
-    packed_w: jax.Array,       # [L, 64, 64]
+    packed_w: jax.Array,       # [L, Wd, Wd] (Wd = 64 or 128)
     tile_sc: jax.Array,        # [A, 8]  t0, t1, active
     bin_start: jax.Array,      # [A, BS] int32
     params: jax.Array,         # [24] f32
@@ -489,10 +493,11 @@ def render_tiles(
     assert BS >= K + 3, f"bin_start width {BS} < K+3"
 
     assert K % Ks == 0 and Ks % Ksb == 0
+    wd = packed_w.shape[-1]
     kernel = _make_kernel(
         spec, K=K, Ks=Ks, Ksb=Ksb, Wn=Wn, P=P, n_sigma=n_sigma,
         n_color=n_color, num_seek=num_seek, deformed=deformed, cut=cut,
-        compute_dtype=cdt)
+        compute_dtype=cdt, wd=wd)
 
     out = pl.pallas_call(
         kernel,
@@ -508,7 +513,7 @@ def render_tiles(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, PACK_FAST), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((packed_w.shape[0], 64, 64), lambda i: (0, 0, 0),
+            pl.BlockSpec((packed_w.shape[0], wd, wd), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, T2), lambda i: (i, 0, 0),

@@ -62,6 +62,27 @@ def _importance_positions(rng, x_pool, w_pool, n, bound):
     return jnp.clip(x_pool[ids] + jitter, -bound, bound)
 
 
+def make_student_spec(teacher_spec: network.NetworkSpec,
+                      width: int = 64) -> network.NetworkSpec:
+    """Student architecture for a given MXU tile width.
+
+    width=64: the classic 64-wide student (quarter of the 128x128 MXU).
+    width=128: fills the systolic array — ~4x parameter capacity per layer
+    at the same matmul wall time in the fused kernels (PERF.md roofline
+    note: the 64-wide MLP is shape-bound at ~20-30 TFLOP/s). The wider
+    student also gets more Fourier frequencies (10 vs 8; 63 input rows
+    still fit one 128 tile) — capacity helps only if the encoding can
+    express the teacher's highest bands.
+    """
+    assert width in (64, 128), width
+    kw = {}
+    if width == 128:
+        kw = dict(hidden_dim=128, hidden_dim_color=128, n_freqs=10)
+    return network.make_spec(
+        bound=teacher_spec.bound, bg_radius=teacher_spec.bg_radius,
+        compute_dtype=teacher_spec.compute_dtype, backbone="mlp", **kw)
+
+
 def distill(
     teacher_params: Dict[str, Any],
     teacher_spec: network.NetworkSpec,
@@ -72,6 +93,7 @@ def distill(
     seed: int = 0,
     log_every: int = 500,
     log_fn=print,
+    student_width: int = 64,
 ) -> Tuple[Dict[str, Any], network.NetworkSpec, float]:
     """Distill a hashgrid field into the interactive mlp backbone.
 
@@ -79,9 +101,7 @@ def distill(
     assert teacher_spec.backbone == "hashgrid"
     bound = teacher_spec.bound
     if student_spec is None:
-        student_spec = network.make_spec(
-            bound=bound, bg_radius=teacher_spec.bg_radius,
-            compute_dtype=teacher_spec.compute_dtype, backbone="mlp")
+        student_spec = make_student_spec(teacher_spec, width=student_width)
 
     rng = jax.random.PRNGKey(seed)
     rng, k = jax.random.split(rng)

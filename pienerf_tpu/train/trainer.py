@@ -312,28 +312,34 @@ class Trainer:
         intrinsics (fx,fy,cx,cy), H, W.
 
         Two execution strategies:
-        - scanned (default): the whole iteration (view choice, sampling,
-          ray gen, pixel gather, optimizer step, error-map EMA) runs
-          device-side via make_train_chunk; the host syncs once per
-          sub-chunk.
-        - eager (hosted-tunnel fallback): one jitted step per iteration
-          with eager sampling ops around it. The hosted `axon` TPU
-          worker reproducibly crashes ("kernel fault") EXECUTING the
-          scanned chunk program at any scan length, while the same
-          program runs fine on CPU meshes and the eager path ran the
-          whole of round 1 on the tunnel — so on that platform we fall
-          back. Override with PIENERF_TRAIN_SCAN=1/0.
+        - scanned (default everywhere): the whole iteration (view choice,
+          sampling, ray gen, pixel gather, optimizer step, error-map EMA)
+          runs device-side via make_train_chunk; the host syncs once per
+          sub-chunk. Round-2 history: the then-hosted `axon` TPU worker
+          crashed ("kernel fault") EXECUTING this program at any scan
+          length, so round 2 shipped an eager fallback keyed on the
+          backend name. The round-3 runtime executes the scan correctly
+          (validated: 128 scanned iters, ~5 ms/step at 1024x48 vs ~65 ms
+          eager through the tunnel — PERF.md "Scanned training loop"), so
+          the scan is now the default on every backend.
+        - eager: one jitted step per iteration with eager sampling ops
+          around it; kept for large host-resident datasets and as the
+          PIENERF_TRAIN_SCAN=0 escape hatch.
         """
-        use_scan = os.environ.get("PIENERF_TRAIN_SCAN")
-        if use_scan is not None:
-            use_scan = use_scan != "0"
-        else:
-            use_scan = jax.default_backend() != "axon"
+        use_scan = os.environ.get("PIENERF_TRAIN_SCAN", "1") != "0"
         # large real datasets (e.g. 100 x 800^2 rgba) should not be
         # force-resident in HBM; keep them on host and gather the sampled
         # pixels per step instead (round-1 weakness #7 footgun)
         max_dev = float(os.environ.get("PIENERF_MAX_DEVICE_DATASET", 2e9))
-        host_images = np.asarray(dataset.images).nbytes > max_dev
+        # size from metadata only: np.asarray here would materialize a full
+        # host copy of a device-resident/list-backed image set every call
+        imgs = dataset.images
+        if hasattr(imgs, "nbytes"):
+            img_bytes = int(imgs.nbytes)
+        else:
+            a0 = np.asarray(imgs[0])
+            img_bytes = len(imgs) * a0.nbytes
+        host_images = img_bytes > max_dev
         if not use_scan or host_images:
             return self._train_iterations_eager(dataset, n_iters,
                                                 host_images=host_images)
@@ -601,6 +607,38 @@ class Trainer:
                     os.remove(f)
         return path
 
+    def _adopt_mlp_arch(self, params) -> None:
+        """Rebuild the spec from loaded mlp param shapes when they disagree
+        with the configured architecture (e.g. a 128-wide distilled student
+        loaded by a default-width Trainer). The architecture is fully
+        recoverable from the weights: sigma_net[0] is [3*(1+2*n_freqs),
+        hidden_dim]; color_net[0] is [31, hidden_dim_color]."""
+        if self.spec.backbone != "mlp" or "sigma_net" not in params:
+            return
+        sn, cn = params["sigma_net"], params["color_net"]
+        in_dim, hidden = sn[0].shape
+        n_freqs = (in_dim // 3 - 1) // 2
+        hidden_color = (cn[0].shape[1] if len(cn) > 1
+                        else self.spec.hidden_dim_color)
+        if (hidden == self.spec.hidden_dim
+                and hidden_color == self.spec.hidden_dim_color
+                and n_freqs == self.spec.n_freqs
+                and len(sn) == self.spec.num_layers):
+            return
+        self.spec = self.spec._replace(
+            n_freqs=n_freqs, hidden_dim=hidden,
+            hidden_dim_color=hidden_color, num_layers=len(sn),
+            num_layers_color=len(cn))
+        self._train_step = make_train_step(
+            self.spec, self.settings, self.optimizer,
+            use_fast_path=self._use_fast_train,
+            patch_size=self.cfg.patch_size)
+        self._chunk_key = None
+        self._density_fn = self._make_density_fn()
+        self.log(f"[ckpt] adopted mlp arch from checkpoint: "
+                 f"hidden={hidden}/{hidden_color}, n_freqs={n_freqs}, "
+                 f"layers={len(sn)}+{len(cn)}")
+
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
         if path is None:
             cands = sorted(glob.glob(
@@ -621,6 +659,7 @@ class Trainer:
             tree, extra = ckpt_io.load_native(path)
             params = tree.get("params", tree)
             ema = tree.get("ema_params", params)
+            self._adopt_mlp_arch(params)
             self.state = self.state._replace(params=params, ema_params=ema,
                                              opt_state=self.optimizer.init(params))
         dg = extra.get("density_grid")

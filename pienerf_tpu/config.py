@@ -105,6 +105,14 @@ class PieNeRFConfig:
     # the quality/rate slider (PERF.md "Sampling density": 64 -> 42 FPS,
     # 128 + tighten -> +2 dB at 26 FPS, 32 + tighten -> 57 FPS).
     render_samples: int = 64
+    # TPU-build extra: cache the one-time f64 sim precompute per scene
+    # (content-addressed npz under <workspace>/sim_cache; 140-410 s at 24k
+    # IPs -> seconds on a warm start). 0 disables.
+    sim_cache: int = 1
+    # TPU-build extra: store the sim's B assembly operator in bfloat16
+    # (f32 accumulation) — halves its HBM traffic for >25k-IP scenes
+    # (PERF.md sim-scaling; trajectory-verified in tests/test_solver.py).
+    sim_bf16_b: bool = False
 
     # derived (set by finalize)
     hash_grid_size: float = 0.0
@@ -164,6 +172,7 @@ class PieNeRFConfig:
 _BOOL_FLAGS = {
     "O", "test", "cuda_ray", "fp16", "ff", "tcnn", "preload", "gui",
     "error_map", "cut", "timing_on", "output_ply", "tighten_sampling",
+    "sim_bf16_b",
 }
 
 

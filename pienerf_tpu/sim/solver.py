@@ -336,6 +336,83 @@ def sim_init(
     return consts, state, aux
 
 
+_CACHE_VERSION = 1
+
+
+def _sim_cache_key(pos, mass, mu, lam, is_pin, kw) -> str:
+    """Content hash of every sim_init input (round-3 item 5: the one-time
+    f64 precompute costs 140-410 s at 24k IPs; cache it per scene)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(str(_CACHE_VERSION).encode())
+    for a in (pos, mass, mu, lam, is_pin):
+        arr = np.ascontiguousarray(np.asarray(a))
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    for k in sorted(kw):
+        v = kw[k]
+        if isinstance(v, np.ndarray):
+            h.update(f"{k}={v.tolist()}".encode())
+        else:
+            h.update(f"{k}={v}".encode())
+    return h.hexdigest()[:24]
+
+
+def sim_init_cached(pos, mass, mu, lam, is_pin, cache_dir: str,
+                    **kw) -> Tuple[SimConstants, SimState, dict]:
+    """sim_init with a content-addressed npz cache.
+
+    A cache hit rebuilds SimConstants/SimState/aux from disk in seconds
+    instead of re-running the f64 GMLS + assembly + dense inverse. The key
+    covers every input (point data and all scalars), so edited PLYs or
+    changed solver params never collide.
+    """
+    import os
+
+    dtype = kw.get("dtype", jnp.float32)
+    key_kw = dict(kw)
+    key_kw["dtype"] = np.dtype(dtype).name
+    key = _sim_cache_key(pos, mass, mu, lam, is_pin, key_kw)
+    path = os.path.join(cache_dir, f"simconsts_{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        fields = {}
+        for name in SimConstants._fields:
+            v = z[f"c_{name}"]
+            fields[name] = (v.item() if v.ndim == 0
+                            else jnp.asarray(v))
+        consts = SimConstants(**fields)
+        state = SimState(
+            ddof=jnp.zeros_like(consts.dof_rest),
+            dof_vel=jnp.zeros_like(consts.dof_rest),
+            dof_f=jnp.zeros_like(consts.dof_rest),
+        )
+        aux = {k[2:]: z[k] for k in z.files if k.startswith("a_")}
+        return consts, state, aux
+
+    consts, state, aux = sim_init(pos, mass, mu, lam, is_pin, **kw)
+    os.makedirs(cache_dir, exist_ok=True)
+    payload = {}
+    for name in SimConstants._fields:
+        v = getattr(consts, name)
+        payload[f"c_{name}"] = (np.asarray(v) if hasattr(v, "shape")
+                                else np.asarray(v))
+    for k, v in aux.items():
+        payload[f"a_{k}"] = np.asarray(v)
+    tmp = path + ".tmp.npz"   # np.savez appends .npz unless present
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+    return consts, state, aux
+
+
+def cast_B_bf16(consts: SimConstants) -> SimConstants:
+    """Opt-in bf16 storage of the B assembly operator: halves its HBM
+    traffic (the >25k-IP step bottleneck); see rhs_elastic_delta for the
+    accuracy argument and tests/test_solver.py for the trajectory check."""
+    return consts._replace(B=consts.B.astype(jnp.bfloat16))
+
+
 # ---------------------------------------------------------------------------
 # per-step physics (jitted)
 # ---------------------------------------------------------------------------
@@ -377,7 +454,19 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     n_ip = consts.ip_pos.shape[0]
     dim = n_k * 10
     ddof2 = ddof.reshape(dim, 3)
-    Fd = jnp.matmul(consts.B, ddof2, precision=_HI)            # [3*nIP, 3]
+    if consts.B.dtype == jnp.bfloat16:
+        # bf16 B with f32 accumulation: halves the HBM traffic of the two
+        # B contractions — the measured step bottleneck beyond ~25k IPs
+        # (PERF.md sim-scaling). Only B is quantized; the delta formulation
+        # keeps every contracted quantity O(deformation), so the 2^-8
+        # relative error perturbs forces by ~0.4% (trajectory-verified
+        # against the f64 oracle in tests/test_solver.py). global_inv and
+        # the mass matmul stay true-f32: the precision_probe NaN failure
+        # mode lives in the global solve, not the force assembly.
+        Fd = jnp.matmul(consts.B, ddof2.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)    # [3*nIP, 3]
+    else:
+        Fd = jnp.matmul(consts.B, ddof2, precision=_HI)        # [3*nIP, 3]
 
     # F[d][j] = delta_dj + Fd[(j, v), d] as [nIP] component arrays
     F = tuple(
@@ -395,9 +484,15 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
         for j in range(3)], axis=0)                            # [3*nIP, 3]
 
     # transpose contraction of B (no Bt materialization)
-    rhs2 = jax.lax.dot_general(
-        consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=_HI)
+    if consts.B.dtype == jnp.bfloat16:
+        rhs2 = jax.lax.dot_general(
+            consts.B, dPmat.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        rhs2 = jax.lax.dot_general(
+            consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=_HI)
     return rhs2.reshape(n_k, 10, 3)
 
 
@@ -483,16 +578,23 @@ class Simulator:
 
     def __init__(self, dt=1e-2, iters=20, bbox=(1.0, 1.0, 1.0), kres=7,
                  dx=1.0, gravity=(0.0, -9.8, 0.0), stiff=1e5,
-                 base=(-0.5, -0.5, -0.5), dtype=jnp.float32, substeps=1):
+                 base=(-0.5, -0.5, -0.5), dtype=jnp.float32, substeps=1,
+                 bf16_b=False, cache_dir: Optional[str] = None):
         # substeps: run `substeps` inner steps of dt/substeps per
         # stepforward() call — finer time resolution for fast dynamics
         # (measured envelope: tools/diverge_probe.py). 1 = reference
         # behavior.
+        # bf16_b: store the B assembly operator in bfloat16 (f32
+        # accumulation) — halves its HBM traffic for >25k-IP scenes.
+        # cache_dir: persist the one-time f64 precompute per scene
+        # (content-addressed; 140-410 s -> seconds on a warm start).
         self.substeps = int(substeps)
         self._cfg = dict(dt=dt / self.substeps, iters=iters,
                          bbox=np.asarray(bbox, np.float64),
                          kres=kres, dx=dx, gravity=gravity, stiff=stiff,
                          base=np.asarray(base, np.float64), dtype=dtype)
+        self.bf16_b = bool(bf16_b)
+        self.cache_dir = cache_dir
         self.consts: Optional[SimConstants] = None
         self.state: Optional[SimState] = None
         self.aux: Optional[dict] = None
@@ -504,9 +606,16 @@ class Simulator:
         self.initialize(d["pos"], d["mass"], d["mu"], d["lam"], d["pin"])
 
     def initialize(self, pos, mass, mu, lam, is_pin) -> None:
-        self.consts, self.state, self.aux = sim_init(
-            pos, mass, mu, lam, is_pin, **self._cfg
-        )
+        if self.cache_dir:
+            self.consts, self.state, self.aux = sim_init_cached(
+                pos, mass, mu, lam, is_pin, cache_dir=self.cache_dir,
+                **self._cfg)
+        else:
+            self.consts, self.state, self.aux = sim_init(
+                pos, mass, mu, lam, is_pin, **self._cfg
+            )
+        if self.bf16_b:
+            self.consts = cast_B_bf16(self.consts)
 
     def stepforward(self) -> None:
         for _ in range(self.substeps):

@@ -305,3 +305,61 @@ def test_pinned_spring_drag_stays_bounded():
     p_ip = rest + jnp.einsum("ia,iad->d", consts.IP_Nx[vid],
                              s.ddof[consts.IP_kernel[vid]])
     assert float(jnp.linalg.norm(p_ip - rest)) > 0.01
+
+
+def test_sim_init_cache_roundtrip(tmp_path):
+    """sim_init_cached: warm start must reproduce the cold-start constants
+    and trajectory exactly (round-3 item 5: the f64 precompute is cached
+    per scene, content-addressed over every input)."""
+    pos, mass, mu, lam, pin = _cube_cloud()
+    pin = pos[:, 1] > 0.65
+    kw = dict(dt=1e-2, iters=5, bbox=np.array([1.0, 1.0, 1.0]), kres=4,
+              dx=0.2, gravity=(0.0, -9.8, 0.0), stiff=1e5,
+              base=np.array([0.0, 0.0, 0.0]))
+    cdir = str(tmp_path / "cache")
+    c1, s1, a1 = solver.sim_init_cached(pos, mass, mu, lam, pin,
+                                        cache_dir=cdir, **kw)
+    import glob
+    files = glob.glob(cdir + "/simconsts_*.npz")
+    assert len(files) == 1
+    c2, s2, a2 = solver.sim_init_cached(pos, mass, mu, lam, pin,
+                                        cache_dir=cdir, **kw)
+    for name in solver.SimConstants._fields:
+        v1, v2 = getattr(c1, name), getattr(c2, name)
+        if hasattr(v1, "shape"):
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        else:
+            assert v1 == v2, name
+    t1, t2 = s1, s2
+    for _ in range(5):
+        t1 = sim_step(c1, t1)
+        t2 = sim_step(c2, t2)
+    np.testing.assert_array_equal(np.asarray(t1.ddof), np.asarray(t2.ddof))
+    # a changed scalar produces a different cache entry, not a stale hit
+    kw2 = dict(kw); kw2["stiff"] = 2e5
+    solver.sim_init_cached(pos, mass, mu, lam, pin, cache_dir=cdir, **kw2)
+    assert len(glob.glob(cdir + "/simconsts_*.npz")) == 2
+
+
+def test_bf16_b_trajectory_matches_f32():
+    """bf16-stored B (f32 accumulation) must track the true-f32 trajectory
+    on the stable pinned-cube config (round-3 item 9). B only assembles
+    the O(deformation) elastic delta, so the 2^-8 quantization perturbs
+    forces by ~0.4%; the global solve stays true-f32."""
+    consts, state, _ = _init(pin_top=True)
+    consts_bf = solver.cast_B_bf16(consts)
+    assert consts_bf.B.dtype == jnp.bfloat16
+
+    s32, sbf = state, state
+    for _ in range(30):
+        s32 = sim_step(consts, s32)
+        sbf = sim_step(consts_bf, sbf)
+    p32 = np.asarray(point_positions(consts, s32))
+    pbf = np.asarray(point_positions(consts_bf, sbf))
+    assert np.isfinite(pbf).all()
+    # sagged displacement is O(1e-2); bf16-B deviation must stay well
+    # below the physical deformation scale
+    dev = np.abs(pbf - p32).max()
+    sag = np.abs(p32 - np.asarray(point_positions(consts, state))).max()
+    assert sag > 1e-3, "config did not deform; test is vacuous"
+    assert dev < 0.2 * sag, f"bf16-B deviates {dev} vs sag {sag}"

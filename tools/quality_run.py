@@ -1,0 +1,208 @@
+"""Full-budget quality training run (round-3 item 1).
+
+Trains the flagship mlp backbone on the analytic synthetic scene at
+800x800 following the reference's protocol — 30k iters, 4096 rays/step,
+Adam lr 1e-2 -> 1e-3 (reference: main_train.py:69-79, get_opts.py:12-15)
+— and records the held-out PSNR/SSIM curve the way the reference prints
+PSNR/LPIPS at eval epochs (reference: nerf/trainer.py:776-787).
+
+GT images come from dense 400-step uniform quadrature of the analytic
+field. The quadrature runs on the TPU (a direct jnp transcription of
+pienerf_tpu/data/synthetic.py:render_gt) because this box has one CPU
+core; the device version is validated against the numpy oracle at 64x64
+before any full-size view is produced, so the GT remains independent of
+the rendering stack under test (the trainer renders hierarchically with
+importance sampling; GT is dense uniform quadrature).
+
+Outputs under --workspace:
+  dataset_<H>x<W>_<n>v_s<seed>.npz   cached GT views
+  curve.json                         [{step, psnr, ssim, wall_s}, ...]
+  summary.json                       final metrics + config
+  checkpoints/, validation/          via Trainer
+
+Usage:
+  python tools/quality_run.py --workspace runs/quality_mlp_800 \
+      --iters 30000 --eval_every 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pienerf_tpu.config import PieNeRFConfig
+from pienerf_tpu.data import synthetic
+from pienerf_tpu.train.metrics import psnr as psnr_fn
+
+
+def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg):
+    """One chunk of dense-quadrature GT on device (jnp twin of
+    synthetic.render_gt)."""
+    fx, fy, cx, cy = intrinsics
+    idx = ray_lo + jnp.arange(n_rays)
+    jj = (idx // W).astype(jnp.float32) + 0.5
+    ii = (idx % W).astype(jnp.float32) + 0.5
+    dirs = jnp.stack([(ii - cx) / fx, (jj - cy) / fy, jnp.ones_like(ii)], -1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pose = jnp.asarray(pose, jnp.float32)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+
+    inv = 1.0 / rays_d
+    t0 = (-bound - rays_o) * inv
+    t1 = (bound - rays_o) * inv
+    near = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.05)
+    far = jnp.maximum(jnp.maximum(t0, t1).min(-1), near + 1e-6)
+
+    ts = near[:, None] + (far - near)[:, None] * (
+        (jnp.arange(n_steps) + 0.5) / n_steps)[None, :]
+    dt = ((far - near) / n_steps)[:, None]
+    xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    r = jnp.linalg.norm(xs, axis=-1)
+    sig = 40.0 / (1.0 + jnp.exp(jnp.clip(-40.0 * (0.5 - r), -60.0, 60.0)))
+    rgb = 0.5 + 0.4 * jnp.sin(xs * jnp.asarray([3.0, 5.0, 7.0]))
+    tau = sig * dt
+    T = jnp.exp(-jnp.cumsum(tau, axis=1) + tau)
+    alpha = 1.0 - jnp.exp(-tau)
+    w = alpha * T
+    return (w[..., None] * rgb).sum(1) + (1 - w.sum(1))[:, None] * bg
+
+
+_gt_chunk_jit = jax.jit(_gt_chunk, static_argnames=(
+    "intrinsics", "H", "W", "n_rays", "n_steps", "bound", "bg"))
+
+
+def render_gt_device(pose, intrinsics, H, W, n_steps=400, bound=1.0,
+                     bg=1.0, chunk=65536):
+    n = H * W
+    outs = []
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        out = _gt_chunk_jit(pose, tuple(float(v) for v in intrinsics), H, W,
+                            lo, m, n_steps, float(bound), float(bg))
+        outs.append(np.asarray(out))
+    return np.concatenate(outs).reshape(H, W, 3).astype(np.float32)
+
+
+def validate_device_gt():
+    """Device GT must match the numpy oracle before we trust it."""
+    intr = (0.9 * 64, 0.9 * 64, 32.0, 32.0)
+    pose = synthetic.orbit_poses(1, seed=3)[0]
+    ref = synthetic.render_gt(pose, intr, 64, 64)
+    dev = render_gt_device(pose, intr, 64, 64)
+    p = psnr_fn(dev, ref)
+    assert p > 55.0, f"device GT diverges from numpy oracle: {p:.2f} dB"
+    return p
+
+
+def make_dataset_cached(workspace, n_views, H, W, seed):
+    path = os.path.join(workspace,
+                        f"dataset_{H}x{W}_{n_views}v_s{seed}.npz")
+    focal = 0.9 * H
+    intr = (focal, focal, W / 2.0, H / 2.0)
+    if os.path.exists(path):
+        z = np.load(path)
+        return synthetic.SyntheticDataset(
+            poses=z["poses"], images=z["images"], intrinsics=intr, H=H, W=W)
+    poses = synthetic.orbit_poses(n_views, seed=seed)
+    t0 = time.time()
+    images = np.stack([render_gt_device(p, intr, H, W) for p in poses])
+    print(f"[gt] {n_views} views {H}x{W} in {time.time()-t0:.1f}s")
+    np.savez_compressed(path, poses=poses.astype(np.float32), images=images)
+    return synthetic.SyntheticDataset(
+        poses=poses.astype(np.float32), images=images, intrinsics=intr,
+        H=H, W=W)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workspace", default="runs/quality_mlp_800")
+    ap.add_argument("--iters", type=int, default=30000)
+    ap.add_argument("--eval_every", type=int, default=2000)
+    ap.add_argument("--H", type=int, default=800)
+    ap.add_argument("--W", type=int, default=800)
+    ap.add_argument("--n_train", type=int, default=40)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--eval_views", type=int, default=2,
+                    help="held-out views scored at each interim eval")
+    ap.add_argument("--num_rays", type=int, default=4096)
+    ap.add_argument("--train_max_samples", type=int, default=64)
+    ap.add_argument("--backbone", default="mlp")
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    os.makedirs(args.workspace, exist_ok=True)
+    p = validate_device_gt()
+    print(f"[gt] device-vs-numpy oracle: {p:.1f} dB (>55 required)")
+
+    train_ds = make_dataset_cached(args.workspace, args.n_train, args.H,
+                                   args.W, seed=args.seed)
+    test_ds = make_dataset_cached(args.workspace, args.n_test, args.H,
+                                  args.W, seed=99)
+
+    cfg = PieNeRFConfig(
+        bound=1.0, dt_gamma=0.0, iters=args.iters, num_rays=args.num_rays,
+        min_near=0.05, workspace=args.workspace, seed=args.seed,
+        train_max_samples=args.train_max_samples, backbone=args.backbone,
+        compute_dtype=args.compute_dtype,
+    ).finalize()
+    cfg.backbone = args.backbone
+    cfg.compute_dtype = args.compute_dtype
+
+    from pienerf_tpu.train.trainer import Trainer
+
+    trainer = Trainer("ngp", cfg, use_checkpoint="latest", seed=args.seed)
+    trainer.mark_untrained_grid(train_ds.poses, train_ds.intrinsics)
+
+    curve_path = os.path.join(args.workspace, "curve.json")
+    curve = []
+    if os.path.exists(curve_path):
+        curve = json.load(open(curve_path))
+    t0 = time.time() - (curve[-1]["wall_s"] if curve else 0.0)
+
+    while trainer.global_step < args.iters:
+        n = min(args.eval_every, args.iters - trainer.global_step)
+        loss = trainer.train_iterations(train_ds, n)
+        psnr = trainer.evaluate(test_ds, n_views=args.eval_views,
+                                save_images=False)
+        from pienerf_tpu.train.metrics import SSIMMeter
+        # evaluate() logs SSIM but returns PSNR; recompute cheap summary
+        entry = {"step": trainer.global_step, "loss": loss,
+                 "psnr": float(psnr), "wall_s": time.time() - t0}
+        curve.append(entry)
+        json.dump(curve, open(curve_path, "w"), indent=1)
+        print(f"[curve] {entry}")
+        trainer.save_checkpoint()
+
+    # final: all test views, with PNG + depth dumps
+    final_psnr = trainer.evaluate(test_ds, save_images=True)
+    summary = {
+        "final_psnr": float(final_psnr),
+        "iters": trainer.global_step,
+        "wall_s": time.time() - t0,
+        "H": args.H, "W": args.W,
+        "n_train": args.n_train, "n_test": args.n_test,
+        "backbone": args.backbone, "compute_dtype": args.compute_dtype,
+        "num_rays": args.num_rays,
+        "train_max_samples": args.train_max_samples,
+        "curve": curve,
+    }
+    json.dump(summary, open(os.path.join(args.workspace, "summary.json"),
+                            "w"), indent=1)
+    print(f"[summary] final held-out PSNR={final_psnr:.2f} dB after "
+          f"{trainer.global_step} iters ({summary['wall_s']/60:.1f} min)")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,17 +67,23 @@ def render_gt(pose: np.ndarray, intrinsics, H: int, W: int,
     rays_d = (dirs.reshape(-1, 3) @ pose[:3, :3].T).astype(np.float64)
     rays_o = np.broadcast_to(pose[:3, 3].astype(np.float64), rays_d.shape)
 
-    # slab test against the bound cube
+    # slab test against the bound cube; clamp to a finite range so grazing
+    # rays (|dir component| ~ 1e-7 -> t ~ 1e7+) cannot push samples to
+    # magnitudes where f32 trig NaNs (observed at 800x800: ~200 ppm of
+    # edge rays). Legit samples satisfy |x| <= ~3 at these camera radii,
+    # so the clamps are exact no-ops on every contributing sample.
     inv = 1.0 / rays_d
     t0 = (-bound - rays_o) * inv
     t1 = (bound - rays_o) * inv
-    near = np.maximum(np.minimum(t0, t1).max(-1), 0.05)
-    far = np.maximum(np.maximum(t0, t1).min(-1), near + 1e-6)
+    near = np.minimum(np.maximum(np.minimum(t0, t1).max(-1), 0.05), 1e3)
+    far = np.minimum(np.maximum(np.maximum(t0, t1).min(-1), near + 1e-6),
+                     1e3 + 1e-3)
 
     ts = near[:, None] + (far - near)[:, None] * (
         (np.arange(n_steps) + 0.5) / n_steps)[None, :]
     dt = ((far - near) / n_steps)[:, None]
     xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    xs = np.clip(xs, -4.0 * bound - 4.0, 4.0 * bound + 4.0)
     sig = sphere_sigma(xs)
     rgb = sphere_rgb(xs)
     tau = sig * dt

@@ -116,13 +116,13 @@ def moment_matrices(pos: np.ndarray, topo: np.ndarray, kernel_pos: np.ndarray,
     ddP = basis_hess()                      # [3, 3, 10]
 
     # primitive_i = P P^T + sum_j Pj Pj^T + sum_jk Pjk Pjk^T   [N, 8, 10, 10]
-    prim = np.einsum("nia,nib->niab", Pq, Pq)
-    prim += np.einsum("nija,nijb->niab", dPq, dPq)
-    prim = prim + np.einsum("jka,jkb->ab", ddP, ddP)
+    prim = np.einsum("nia,nib->niab", Pq, Pq, optimize=True)
+    prim += np.einsum("nija,nijb->niab", dPq, dPq, optimize=True)
+    prim = prim + np.einsum("jka,jkb->ab", ddP, ddP, optimize=True)
 
-    G = np.einsum("ni,niab->nab", w, prim)
-    dG = np.einsum("nix,niab->nxab", dw, prim)
-    ddG = np.einsum("nixy,niab->nxyab", ddw, prim)
+    G = np.einsum("ni,niab->nab", w, prim, optimize=True)
+    dG = np.einsum("nix,niab->nxab", dw, prim, optimize=True)
+    ddG = np.einsum("nixy,niab->nxyab", ddw, prim, optimize=True)
     return G, dG, ddG
 
 
@@ -143,22 +143,22 @@ def shape_functions(pos: np.ndarray, topo: np.ndarray, kernel_pos: np.ndarray,
     dPp = basis_grad(pos)                   # [N,3,10]
     ddPp = basis_hess()                     # [3,3,10]
 
-    Gp = np.einsum("nab,nb->na", Gi, Pp)    # [N,10]
+    Gp = np.einsum("nab,nb->na", Gi, Pp, optimize=True)    # [N,10]
 
     # dGp[x] = Gi dP_x - Gi dG_x Gi P
-    Gi_dG = np.einsum("nab,nxbc->nxac", Gi, dG)        # [N,3,10,10]
-    dGp = np.einsum("nab,nxb->nxa", Gi, dPp) - np.einsum("nxab,nb->nxa", Gi_dG, Gp)
+    Gi_dG = np.einsum("nab,nxbc->nxac", Gi, dG, optimize=True)        # [N,3,10,10]
+    dGp = np.einsum("nab,nxb->nxa", Gi, dPp, optimize=True) - np.einsum("nxab,nb->nxa", Gi_dG, Gp, optimize=True)
 
     # ddGp[x,y] = Gi ddP_xy - Gi dG_x Gi dP_y - Gi dG_y Gi dP_x
     #             - Gi ddG_xy Gi P + Gi dG_y Gi dG_x Gi P + Gi dG_x Gi dG_y Gi P
-    Gi_dPp = np.einsum("nab,nxb->nxa", Gi, dPp)        # [N,3,10]
+    Gi_dPp = np.einsum("nab,nxb->nxa", Gi, dPp, optimize=True)        # [N,3,10]
     ddGp = (
-        np.einsum("nab,xyb->nxya", Gi, ddPp)
-        - np.einsum("nxab,nyb->nxya", Gi_dG, Gi_dPp)
-        - np.einsum("nyab,nxb->nxya", Gi_dG, Gi_dPp)
-        - np.einsum("nab,nxybc,nc->nxya", Gi, ddG, Gp)
-        + np.einsum("nyab,nxbc,nc->nxya", Gi_dG, Gi_dG, Gp)
-        + np.einsum("nxab,nybc,nc->nxya", Gi_dG, Gi_dG, Gp)
+        np.einsum("nab,xyb->nxya", Gi, ddPp, optimize=True)
+        - np.einsum("nxab,nyb->nxya", Gi_dG, Gi_dPp, optimize=True)
+        - np.einsum("nyab,nxb->nxya", Gi_dG, Gi_dPp, optimize=True)
+        - np.einsum("nab,nxybc,nc->nxya", Gi, ddG, Gp, optimize=True)
+        + np.einsum("nyab,nxbc,nc->nxya", Gi_dG, Gi_dG, Gp, optimize=True)
+        + np.einsum("nxab,nybc,nc->nxya", Gi_dG, Gi_dG, Gp, optimize=True)
     )
 
     # per-(entity, node) weights and slot matrices
@@ -166,9 +166,9 @@ def shape_functions(pos: np.ndarray, topo: np.ndarray, kernel_pos: np.ndarray,
     w, dw, ddw = kernel_weight(r, pos[:, None, :], q)
     B = _slot_matrix(basis(q), basis_grad(q))          # [N,8,10,10]
 
-    BGp = np.einsum("nisb,nb->nis", B, Gp)             # [N,8,10]
-    BdGp = np.einsum("nisb,nxb->nixs", B, dGp)         # [N,8,3,10]
-    BddGp = np.einsum("nisb,nxyb->nixys", B, ddGp)     # [N,8,3,3,10]
+    BGp = np.einsum("nisb,nb->nis", B, Gp, optimize=True)             # [N,8,10]
+    BdGp = np.einsum("nisb,nxb->nixs", B, dGp, optimize=True)         # [N,8,3,10]
+    BddGp = np.einsum("nisb,nxyb->nixys", B, ddGp, optimize=True)     # [N,8,3,3,10]
 
     Nx = w[..., None] * BGp
     dNx = dw[..., None] * BGp[:, :, None, :] + w[..., None, None] * BdGp

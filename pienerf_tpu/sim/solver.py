@@ -126,7 +126,7 @@ def _elastic_blocks(dx: float, dt: float, mu: np.ndarray, lam: np.ndarray,
     term2: dx^5 (mu + lam) / 12 * sum_pq ddN_pq,i[x] ddN_pq,j[y]
     """
     n = Nx.shape[0]
-    N = Nx.reshape(n, 80)                        # [n, 8*10]
+    N = Nx.reshape(n, 1, 80)                     # [n, 1, 8*10]
     dN = dNx.transpose(0, 2, 1, 3).reshape(n, 3, 80)
     ddN = ddNx.transpose(0, 2, 3, 1, 4).reshape(n, 9, 80)
 
@@ -134,17 +134,24 @@ def _elastic_blocks(dx: float, dt: float, mu: np.ndarray, lam: np.ndarray,
     c1 = dx**3 * (rho * dx**2 / 12.0 / dt**2 + mu + lam)
     c2 = dx**5 * (mu + lam) / 12.0
 
-    blocks = c0[:, None, None] * np.einsum("na,nb->nab", N, N)
-    blocks += c1[:, None, None] * np.einsum("npa,npb->nab", dN, dN)
-    blocks += c2[:, None, None] * np.einsum("npa,npb->nab", ddN, ddN)
-    return blocks
+    # ONE batched BLAS dgemm instead of three n x 80 x 80 einsum passes:
+    # all three terms are Gram matrices S^T S of per-IP row stacks, and
+    # the coefficients are non-negative, so sqrt(c) folds into the rows.
+    # Measured (tools/profile_sim_init.py, 25k IPs): the einsum version
+    # was 950 s of the 1134 s init; this is seconds.
+    S = np.concatenate([
+        np.sqrt(c0)[:, None, None] * N,
+        np.sqrt(c1)[:, None, None] * dN,
+        np.sqrt(c2)[:, None, None] * ddN,
+    ], axis=1)                                   # [n, 13, 80]
+    return np.matmul(S.transpose(0, 2, 1), S)    # [n, 80, 80]
 
 
 def _pin_blocks(stiff: float, Nx_pin: np.ndarray) -> np.ndarray:
     """Dirichlet penalty blocks for pinned points (cuda_utils.py:58-81)."""
     n = Nx_pin.shape[0]
-    N = Nx_pin.reshape(n, 80)
-    return stiff * np.einsum("na,nb->nab", N, N)
+    N = Nx_pin.reshape(n, 1, 80)
+    return stiff * np.matmul(N.transpose(0, 2, 1), N)
 
 
 def volume_invariant_project_np(sig: np.ndarray) -> np.ndarray:

@@ -325,8 +325,18 @@ class Trainer:
         - eager: one jitted step per iteration with eager sampling ops
           around it; kept for large host-resident datasets and as the
           PIENERF_TRAIN_SCAN=0 escape hatch.
+
+        Tripwire: the legacy `axon`-named hosted worker executes the
+        scanned program INCORRECTLY at scale (round 2: crash; round 3:
+        silently non-finite losses at 800x800/4096 rays while the same
+        program is finite on CPU and the current TPU runtime). The first
+        scanned chunk is therefore checked: if its losses are non-finite
+        while the state was finite going in, the chunk is rolled back and
+        training continues on the eager path for this Trainer.
         """
         use_scan = os.environ.get("PIENERF_TRAIN_SCAN", "1") != "0"
+        if getattr(self, "_scan_disabled", False):
+            use_scan = False
         # large real datasets (e.g. 100 x 800^2 rgba) should not be
         # force-resident in HBM; keep them on host and gather the sampled
         # pixels per step instead (round-1 weakness #7 footgun)
@@ -361,6 +371,9 @@ class Trainer:
                else 8)
 
         done = 0
+        first_chunk = not getattr(self, "_scan_validated", False)
+        snapshot = (jax.tree_util.tree_map(np.asarray, self.state)
+                    if first_chunk else None)
         while done < n_iters:
             if (not self._use_fast_train
                     and self.global_step % self.cfg.update_extra_interval == 0):
@@ -376,6 +389,23 @@ class Trainer:
             self.global_step += int(n)
             done += int(n)
             loss_np = np.asarray(loss_arr)       # ONE sync per sub-chunk
+            if first_chunk:
+                if not np.isfinite(loss_np).all():
+                    # the runtime mis-executed the scan (see docstring):
+                    # roll back and continue eager
+                    self.log("[trainer] scanned chunk produced non-finite "
+                             "losses on a fresh state; rolling back and "
+                             "falling back to the eager loop "
+                             "(runtime scan-execution bug, see PERF.md)")
+                    self._scan_disabled = True
+                    self.state = jax.tree_util.tree_map(jnp.asarray,
+                                                        snapshot)
+                    self.global_step -= int(n)
+                    done -= int(n)
+                    return self._train_iterations_eager(
+                        dataset, n_iters - done, host_images=False)
+                self._scan_validated = True
+                first_chunk = False
             losses.append(float(loss_np.mean()))
             if self.writer is not None:
                 self.writer.add_scalar("train/loss", losses[-1],

@@ -77,3 +77,42 @@ def test_mesh_export_from_trainer(tmp_path, small_scene):
     assert os.path.exists(p)
     m = t.save_mesh(str(tmp_path / "m.obj"), resolution=32, threshold=1.0)
     assert os.path.exists(m)
+
+
+def test_scan_nan_tripwire_falls_back_to_eager(tmp_path):
+    """If the runtime mis-executes the scanned chunk (non-finite losses on
+    a fresh state — the legacy axon worker's failure mode, PERF.md), the
+    trainer rolls the chunk back and finishes the iterations eagerly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pienerf_tpu.config import PieNeRFConfig
+    from pienerf_tpu.data import synthetic
+    from pienerf_tpu.train.trainer import Trainer
+
+    ds = synthetic.make_dataset(n_views=2, H=32, W=32, seed=0)
+    cfg = PieNeRFConfig(bound=1.0, dt_gamma=0.0, iters=100, num_rays=256,
+                        train_max_samples=16, min_near=0.05,
+                        backbone="mlp",
+                        workspace=str(tmp_path / "ws")).finalize()
+    cfg.backbone = "mlp"
+    tr = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+
+    def bad_chunk(state, bitfield, poses, images, error_map, rng, n_steps):
+        poisoned = jax.tree_util.tree_map(lambda x: x * jnp.nan,
+                                          state.params)
+        return (state._replace(params=poisoned), error_map,
+                jnp.full((n_steps,), jnp.nan))
+
+    tr._chunk_fn = bad_chunk
+    tr._chunk_key = (ds.H, ds.W,
+                     tuple(float(v) for v in ds.intrinsics), False)
+
+    loss = tr.train_iterations(ds, 10)
+    assert np.isfinite(loss), "fallback did not recover a finite loss"
+    assert tr._scan_disabled
+    assert tr.global_step == 10
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves), (
+        "poisoned state leaked through the rollback")

@@ -133,9 +133,12 @@ def test_encode_jpeg():
 
 def test_train_viewer_runs_and_accumulates(tmp_path):
     """Train-while-render loop: a few bursts + spp accumulation + dataset
-    pose jump through the HTTP surface."""
+    pose jump through the HTTP surface. Also pins the steady-state loop
+    shape (round-2 weak #7): MLP weights are re-packed only when training
+    advanced the params, never once per frame."""
     from pienerf_tpu.config import PieNeRFConfig
     from pienerf_tpu.data import synthetic
+    from pienerf_tpu.ops.pallas import field_kernel
     from pienerf_tpu.train.trainer import Trainer
 
     ds = synthetic.make_dataset(n_views=3, H=32, W=32, seed=0)
@@ -151,9 +154,24 @@ def test_train_viewer_runs_and_accumulates(tmp_path):
     base = f"http://127.0.0.1:{server.port}"
     done = {}
 
+    pack_calls = {"n": 0}
+    real_pack = field_kernel.pack_weights
+
+    def counting_pack(*a, **kw):
+        pack_calls["n"] += 1
+        return real_pack(*a, **kw)
+
+    n_frames = 6
+
     def loop():
-        web_viewer.run_train_viewer(trainer, ds, max_frames=4,
-                                    train_budget_ms=50.0, server=server)
+        # patch the module attribute: run_train_viewer resolves
+        # field_kernel.pack_weights at call time
+        field_kernel.pack_weights = counting_pack
+        try:
+            web_viewer.run_train_viewer(trainer, ds, max_frames=n_frames,
+                                        train_budget_ms=50.0, server=server)
+        finally:
+            field_kernel.pack_weights = real_pack
         done["ok"] = True
 
     th = threading.Thread(target=loop, daemon=True)
@@ -171,3 +189,11 @@ def test_train_viewer_runs_and_accumulates(tmp_path):
         server.close()
     assert done.get("ok")
     assert trainer.global_step > 0
+    # one pack per training burst at most (plus none for pure-spp frames);
+    # a regression to per-frame packing would give n == n_frames even with
+    # paused training, and > n_frames generally
+    assert 1 <= pack_calls["n"] <= n_frames, pack_calls
+    # frame cadence is published for observability (wall-clock asserts are
+    # not meaningful on a shared CI core; the structural assert above is
+    # the regression guard)
+    assert np.isfinite(st["fps"])

@@ -58,16 +58,20 @@ def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg):
     rays_d = dirs @ pose[:3, :3].T
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
 
+    # finite-range guards identical to synthetic.render_gt (grazing rays
+    # otherwise reach |x| ~ 1e30 where f32 trig NaNs)
     inv = 1.0 / rays_d
     t0 = (-bound - rays_o) * inv
     t1 = (bound - rays_o) * inv
-    near = jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.05)
-    far = jnp.maximum(jnp.maximum(t0, t1).min(-1), near + 1e-6)
+    near = jnp.minimum(jnp.maximum(jnp.minimum(t0, t1).max(-1), 0.05), 1e3)
+    far = jnp.minimum(jnp.maximum(jnp.maximum(t0, t1).min(-1), near + 1e-6),
+                      1e3 + 1e-3)
 
     ts = near[:, None] + (far - near)[:, None] * (
         (jnp.arange(n_steps) + 0.5) / n_steps)[None, :]
     dt = ((far - near) / n_steps)[:, None]
     xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    xs = jnp.clip(xs, -4.0 * bound - 4.0, 4.0 * bound + 4.0)
     r = jnp.linalg.norm(xs, axis=-1)
     sig = 40.0 / (1.0 + jnp.exp(jnp.clip(-40.0 * (0.5 - r), -60.0, 60.0)))
     rgb = 0.5 + 0.4 * jnp.sin(xs * jnp.asarray([3.0, 5.0, 7.0]))
@@ -117,6 +121,7 @@ def make_dataset_cached(workspace, n_views, H, W, seed):
     poses = synthetic.orbit_poses(n_views, seed=seed)
     t0 = time.time()
     images = np.stack([render_gt_device(p, intr, H, W) for p in poses])
+    assert np.isfinite(images).all(), "GT render produced non-finite pixels"
     print(f"[gt] {n_views} views {H}x{W} in {time.time()-t0:.1f}s")
     np.savez_compressed(path, poses=poses.astype(np.float32), images=images)
     return synthetic.SyntheticDataset(

@@ -27,12 +27,28 @@ from pienerf_tpu.models.sh_encoder import sh_encode
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp with clamped-input gradient (reference nerf/activation.py:5-18)."""
-    return jnp.exp(x)
+    """exp with clamped forward AND clamped-input gradient.
+
+    The reference clamps only the gradient (nerf/activation.py:5-18) and
+    leaves the forward unbounded; it survives runaway raw densities via
+    fp16 GradScaler step-skipping. Here the forward saturates at
+    exp(15) ~ 3.3e6 too: alpha = 1 - exp(-sigma*dt) is already 1.0 to
+    f32 precision at sigma*dt > 20, so the clamp is invisible to any
+    rendered output, while unbounded exp is a measured divergence: raw
+    densities in occluded/unsupervised regions drift upward (nothing in
+    the loss opposes growth once T = 0 behind a surface) until exp
+    overflows f32 at x > 88 — observed at step ~9k of a healthy 48-dB
+    800x800 run, permanently NaN-ing the params. The backward keeps the
+    straight-through clamped-exp gradient, so a >15 raw density is still
+    pulled back down whenever the loss asks for less density (a zeroed
+    gradient would leave it stranded). The Pallas inference kernels
+    apply the identical clamp (ops/pallas/{field,tile}_kernel.py).
+    """
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
 
 
 def _trunc_exp_bwd(x, g):

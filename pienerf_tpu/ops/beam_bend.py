@@ -97,11 +97,15 @@ def select_tile_candidates(
     tan_half: jax.Array,         # [C] beam half-width growth per unit depth
     t0: jax.Array,               # [C] tile near
     t1: jax.Array,               # [C] tile far
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    return_dropped: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Per-tile candidate compaction.
 
     Returns (cand_pack [C, P, 48], proj [C, P] depth along axis,
-    mask [C, P]).
+    mask [C, P]); with ``return_dropped`` also the per-tile count of
+    in-beam IPs that did not fit in P (the capacity-drop counter the
+    fused kernel reports natively — needed so an 'uncapped' reference
+    render can PROVE it dropped nothing).
     """
     P = settings.ips_per_tile
     rel = p_def[None, :, :] - origin[:, None, :]               # [C, nIP, 3]
@@ -129,6 +133,9 @@ def select_tile_candidates(
     cand_pack = ip_pack[ids]                                    # [C, P, 48]
     cand_proj = jnp.einsum("cpd,cd->cp", cand_pack[..., :3] - origin[:, None, :],
                            axis, precision=_HI)
+    if return_dropped:
+        dropped = jnp.sum(ok, axis=1) - count                   # [C]
+        return cand_pack, cand_proj, mask, dropped
     return cand_pack, cand_proj, mask
 
 
@@ -140,10 +147,13 @@ def bin_candidates(
     t0: jax.Array,               # [C]
     dt_bin: jax.Array,           # [C] bin width ((t1-t0)/K)
     n_bins: int,                 # K + 2 (halo bins at each end)
-) -> jax.Array:
+    return_dropped: bool = False,
+):
     """Scatter candidates into depth bins. Returns [C, n_bins, B, 48]
     (zero rows where empty; p_def rows of empties stay at 0 which is
-    rejected later by the distance test)."""
+    rejected later by the distance test). With ``return_dropped`` also
+    returns the per-tile count of candidates that overflowed their bin's
+    capacity B (window-truncation counter)."""
     B = settings.bin_capacity
     C, P = cand_proj.shape
     width = cand_pack.shape[-1]
@@ -168,6 +178,9 @@ def bin_candidates(
     bins = jnp.zeros((C, n_bins * B, width), cand_pack.dtype)
     bins = bins.at[rows, slot].set(
         jnp.where(keep[..., None], src_pack, 0.0), mode="drop")
+    if return_dropped:
+        dropped = jnp.sum((b_sorted < n_bins) & (rank >= B), axis=1)  # [C]
+        return bins.reshape(C, n_bins, B, width), dropped
     return bins.reshape(C, n_bins, B, width)
 
 

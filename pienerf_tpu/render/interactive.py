@@ -179,12 +179,18 @@ def render_frame(
         origin = jnp.broadcast_to(o_, (C, 3))
 
         if st.deformed:
-            cand, proj, m = beam_bend.select_tile_candidates(
+            cand, proj, m, dr_beam = beam_bend.select_tile_candidates(
                 st.bend, ip_pack, p_def, origin, axis,
-                jnp.broadcast_to(tan_half, (C,)), t0, t1)
+                jnp.broadcast_to(tan_half, (C,)), t0, t1,
+                return_dropped=True)
             dt_bin = (t1 - t0) / K
-            bins = beam_bend.bin_candidates(st.bend, cand, proj, m, t0,
-                                            dt_bin, K + 2)
+            bins, dr_bin = beam_bend.bin_candidates(st.bend, cand, proj, m,
+                                                    t0, dt_bin, K + 2,
+                                                    return_dropped=True)
+            dr_beam = jnp.sum(jnp.where(cmask, dr_beam, 0))
+            dr_bin = jnp.sum(jnp.where(cmask, dr_bin, 0))
+        else:
+            dr_beam = dr_bin = jnp.int32(0)
 
         # tile-uniform stratified depth grid (deterministic centers)
         kk = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
@@ -238,9 +244,10 @@ def render_frame(
         depth = jnp.sum(w * t[:, None, :], axis=-1)
         img = jnp.stack([jnp.sum(w * rgb[i], axis=-1) for i in range(3)],
                         axis=-1)                               # [C, T2, 3]
-        return img, depth, ws
+        return img, depth, ws, dr_beam, dr_bin
 
-    imgs, depths, wss = jax.lax.map(process, (chunk_ids, chunk_mask))
+    imgs, depths, wss, dr_beams, dr_bins = jax.lax.map(
+        process, (chunk_ids, chunk_mask))
     imgs = imgs.reshape(a_cap, T2, 3)
     depths = depths.reshape(a_cap, T2)
     wss = wss.reshape(a_cap, T2)
@@ -258,7 +265,12 @@ def render_frame(
     fws = fws.at[safe_ids].set(wss, mode="drop")
 
     return {"tiles_image": frame, "tiles_depth": fdepth, "tiles_ws": fws,
-            "n_active": act_n}
+            "n_active": act_n,
+            # same counter names/semantics as render_frame_fused, so an
+            # 'uncapped' reference render can be verified drop-free
+            "n_tile_overflow": jnp.sum(hit_tile) - act_n,
+            "dropped_beam": jnp.sum(dr_beams),
+            "dropped_window": jnp.sum(dr_bins)}
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "H", "W"))

@@ -39,11 +39,28 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _params_finite(tree) -> bool:
+    """True iff every float leaf of a param tree is finite everywhere."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        a = np.asarray(leaf)
+        if np.issubdtype(a.dtype, np.floating) and not np.isfinite(a).all():
+            return False
+    return True
+
+
 def make_optimizer(lr: float, total_iters: int) -> optax.GradientTransformation:
     sched = optax.exponential_decay(
         init_value=lr, transition_steps=total_iters, decay_rate=0.1
     )
-    return optax.adam(sched, b1=0.9, b2=0.99, eps=1e-15)
+    # apply_if_finite = the TPU translation of the reference's fp16
+    # GradScaler step-skipping (reference nerf/trainer.py:84: scaler.step
+    # silently skips updates with inf/nan grads). Without it one stray
+    # non-finite gradient (observed once in 10k steps at 800x800/bf16:
+    # a trunc_exp overflow on a grazing sample) permanently NaNs the
+    # params mid-run.
+    return optax.apply_if_finite(
+        optax.adam(sched, b1=0.9, b2=0.99, eps=1e-15),
+        max_consecutive_errors=100)
 
 
 def make_train_step(
@@ -391,6 +408,14 @@ class Trainer:
             loss_np = np.asarray(loss_arr)       # ONE sync per sub-chunk
             if first_chunk:
                 if not np.isfinite(loss_np).all():
+                    if not _params_finite(snapshot.params):
+                        # not the runtime's fault: the state was poisoned
+                        # before the chunk ran (load_checkpoint now refuses
+                        # such states, so this is a belt-and-braces guard)
+                        raise RuntimeError(
+                            "training state is non-finite BEFORE the first "
+                            "scanned chunk — corrupt checkpoint or init; "
+                            "refusing to train from garbage")
                     # the runtime mis-executed the scan (see docstring):
                     # roll back and continue eager
                     self.log("[trainer] scanned chunk produced non-finite "
@@ -616,6 +641,14 @@ class Trainer:
                             f"{self.name}_ep{epoch:04d}.npz")
 
     def save_checkpoint(self, full: bool = True) -> str:
+        # Never persist a poisoned state: a NaN checkpoint silently ruins
+        # every later resume (observed round 3: a 48-dB run NaN'd mid-
+        # flight pre-apply_if_finite, the rotation kept only NaN ckpts,
+        # and the relaunch resumed from garbage).
+        if not _params_finite(self.state.params):
+            self.log("[ckpt] refusing to save: params are non-finite "
+                     "(training diverged; fix the run, don't persist it)")
+            return ""
         self.epoch += 1
         path = self._ckpt_file(self.epoch)
         extra = {
@@ -683,12 +716,20 @@ class Trainer:
 
         if path.endswith(".pth"):
             params, extra = ckpt_io.load_torch_ngp(path)
+            if not _params_finite(params):
+                self.log(f"[ckpt] REFUSING to load {path}: params contain "
+                         "non-finite values (corrupt checkpoint)")
+                return False
             self.state = self.state._replace(params=params, ema_params=params,
                                              opt_state=self.optimizer.init(params))
         else:
             tree, extra = ckpt_io.load_native(path)
             params = tree.get("params", tree)
             ema = tree.get("ema_params", params)
+            if not _params_finite(params):
+                self.log(f"[ckpt] REFUSING to load {path}: params contain "
+                         "non-finite values (corrupt checkpoint)")
+                return False
             self._adopt_mlp_arch(params)
             self.state = self.state._replace(params=params, ema_params=ema,
                                              opt_state=self.optimizer.init(params))

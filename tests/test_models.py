@@ -155,6 +155,20 @@ def test_trunc_exp_gradient_clamps():
     np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-6)
 
 
+def test_trunc_exp_forward_saturates():
+    """Forward must be bounded: raw densities in occluded regions drift
+    upward during long runs (measured: a 48-dB 800x800 fit NaN'd at step
+    ~9k when exp overflowed f32) — the saturation at exp(15) is invisible
+    to rendering (alpha == 1.0 exactly for sigma*dt > 20) but keeps every
+    forward value, loss and gradient finite forever."""
+    y = network.trunc_exp(jnp.asarray([100.0, 1e4, np.inf]))
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(np.asarray(y), np.exp(15.0), rtol=1e-6)
+    # gradient at a runaway input still pulls back (nonzero, finite)
+    g = jax.grad(lambda x: network.trunc_exp(x))(100.0)
+    assert np.isfinite(g) and g > 0
+
+
 def test_network_bf16_compute_close_to_f32():
     spec32 = network.make_spec(bound=1.0, compute_dtype="float32")
     spec16 = spec32._replace(compute_dtype="bfloat16")

@@ -116,3 +116,45 @@ def test_scan_nan_tripwire_falls_back_to_eager(tmp_path):
     leaves = jax.tree_util.tree_leaves(tr.state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves), (
         "poisoned state leaked through the rollback")
+
+
+def test_checkpoint_guards_refuse_non_finite_state(tmp_path, small_scene):
+    """A diverged run must not poison later sessions through the
+    checkpoint rotation (observed round 3: a 48-dB quality run NaN'd
+    mid-flight, rotation kept only NaN checkpoints, and the relaunch
+    resumed from garbage — then mis-blamed the scan runtime). Three
+    guards: save refuses, load refuses, and the scan tripwire raises
+    instead of blaming the runtime when the incoming state is already
+    non-finite."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(tmp_path / "ws_nan", backbone="mlp")
+    t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    t.train_iterations(small_scene, 2)
+    good_path = t.save_checkpoint()
+    assert good_path and np.load(good_path) is not None
+
+    # poison the live state -> save must refuse
+    t.state = t.state._replace(params=jax.tree_util.tree_map(
+        lambda x: x * jnp.nan, t.state.params))
+    assert t.save_checkpoint() == ""
+
+    # hand-corrupt the good checkpoint on disk -> load must refuse
+    import numpy as _np
+    with _np.load(good_path) as z:
+        arrs = dict(z)
+    k = next(k for k in arrs if arrs[k].dtype.kind == "f")
+    arrs[k] = arrs[k] * _np.nan
+    _np.savez(good_path, **arrs)
+    t2 = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    assert t2.load_checkpoint(good_path) is False
+    leaves = jax.tree_util.tree_leaves(t2.state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # non-finite state entering the first scanned chunk -> hard error,
+    # not a "runtime bug" fallback
+    t2.state = t2.state._replace(params=jax.tree_util.tree_map(
+        lambda x: x * jnp.nan, t2.state.params))
+    with pytest.raises(RuntimeError, match="non-finite BEFORE"):
+        t2.train_iterations(small_scene, 4)

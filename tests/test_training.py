@@ -64,3 +64,27 @@ def test_end_to_end_training_fits_scene(tmp_path):
     assert ok
     p2 = t2.evaluate(test_ds, n_views=1)
     assert abs(p2 - p) < 0.2
+
+
+@pytest.mark.slow
+def test_longer_fit_reaches_quality_bar(tmp_path):
+    """Raised-bar fit guard (round-3 item 1 follow-through): a moderate
+    96x96 / 800-iter run must clear 25 dB novel-view PSNR — deep enough
+    to catch a multi-dB quality regression in the renderer or optimizer
+    that the 300-iter breakage detector above would miss. Context: the
+    full 800x800 / 30k-iter protocol reaches ~48 dB by 4k iters
+    (runs/quality_mlp_800, PERF.md quality section)."""
+    ds = synthetic.make_dataset(n_views=16, H=96, W=96, seed=0)
+    test_ds = synthetic.make_dataset(n_views=2, H=96, W=96, seed=77)
+
+    cfg = PieNeRFConfig(
+        bound=1.0, dt_gamma=0.0, iters=800, num_rays=2048,
+        train_max_samples=64, min_near=0.05,
+        workspace=str(tmp_path / "ws"),
+    ).finalize()
+    cfg.backbone = "mlp"
+    cfg.compute_dtype = "bfloat16"
+    trainer = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    trainer.train_iterations(ds, 800)
+    p = trainer.evaluate(test_ds, n_views=2, save_images=False)
+    assert p > 25.0, f"800-iter novel-view PSNR too low: {p}"

@@ -183,6 +183,9 @@ def main():
                                 save_images=False)
         from pienerf_tpu.train.metrics import SSIMMeter
         # evaluate() logs SSIM but returns PSNR; recompute cheap summary
+        assert np.isfinite(psnr), (
+            f"non-finite eval at step {trainer.global_step}; aborting "
+            "instead of burning the remaining budget")
         entry = {"step": trainer.global_step, "loss": loss,
                  "psnr": float(psnr), "wall_s": time.time() - t0}
         curve.append(entry)

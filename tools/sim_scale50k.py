@@ -1,0 +1,107 @@
+"""Sim scaling beyond 25k IPs: f32 vs bf16 B operator (round-3 item 9).
+
+Builds a dense sphere at dx=0.02 (~50k IPs), runs the pinned+spring-drag
+protocol, and reports step wall time + steps/s for the true-f32 B and the
+bf16-B (f32 accumulation) operator, plus their trajectory deviation.
+
+    python tools/sim_scale50k.py [--dx 0.02] [--kres 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from pienerf_tpu.sim import solver as sim
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dx", type=float, default=0.02)
+    ap.add_argument("--kres", type=int, default=7)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cache_dir", default="/tmp/sim50k_cache")
+    args = ap.parse_args()
+
+    r0 = 0.45
+    g = np.arange(-r0, r0 + 1e-6, args.dx * 0.8, dtype=np.float64)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    p = np.stack([x.ravel(), y.ravel(), z.ravel()], 1)
+    p = p[np.linalg.norm(p, axis=1) <= r0]
+    n = len(p)
+    t0 = time.time()
+    consts, state, aux = sim.sim_init_cached(
+        p, np.full(n, 0.1), np.full(n, 1e5), np.full(n, 1e5),
+        p[:, 1] < -0.3, cache_dir=args.cache_dir,
+        dt=1e-2, iters=10, bbox=np.array([2.0, 2.0, 2.0]),
+        kres=args.kres, dx=args.dx, gravity=(0.0, 0.0, 0.0), stiff=1e5,
+        base=np.array([-1.0, -1.0, -1.0]))
+    init_s = time.time() - t0
+    n_ip = int(aux["n_ip"])
+    b_mb = consts.B.size * 4 / 1e6
+    print(f"{n} pts, {n_ip} IPs, kres={args.kres}, B={b_mb:.0f} MB "
+          f"(f32), init {init_s:.0f}s", flush=True)
+
+    vid = jnp.int32(int(np.argmax(np.asarray(consts.ip_pos)[:, 1])))
+    vk, vn, vr = consts.IP_kernel[vid], consts.IP_Nx[vid], consts.ip_pos[vid]
+
+    def make_loop(cst):
+        @jax.jit
+        def loop(st, fi, k):
+            def body(i, st):
+                p_ip = vr + jnp.einsum("ia,iad->d", vn, st.ddof[vk])
+                ang = 0.25 * (fi + i)
+                tgt = vr + 0.2 * jnp.stack([jnp.cos(ang), jnp.sin(ang),
+                                            jnp.float32(0.0)])
+                f = jnp.clip(1e5 * (tgt - p_ip), -5e5, 5e5)
+                st = sim.update_force(cst, st, vid, f)
+                return sim.sim_step(cst, st)
+            return jax.lax.fori_loop(0, k, body, st)
+        return loop
+
+    results = {}
+    trajs = {}
+    for name, cst in (("f32", consts), ("bf16", sim.cast_B_bf16(consts))):
+        loop = make_loop(cst)
+        st = loop(state, jnp.float32(0), 5)         # warm-up + compile
+        _ = float(jnp.sum(st.ddof))
+        rates = []
+        fi = 5
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = loop(st, jnp.float32(fi), args.steps)
+            _ = float(jnp.sum(st.ddof))
+            fi += args.steps
+            rates.append(args.steps / (time.perf_counter() - t0))
+        assert bool(jnp.isfinite(st.ddof).all()), f"{name} diverged"
+        results[name] = {"steps_per_s": float(np.median(rates)),
+                         "ms_per_step": 1e3 / float(np.median(rates))}
+        trajs[name] = np.asarray(sim.point_positions(cst, st))
+        print(f"[{name}] {results[name]['steps_per_s']:.1f} steps/s "
+              f"({results[name]['ms_per_step']:.2f} ms/step)", flush=True)
+
+    dev = float(np.abs(trajs["bf16"] - trajs["f32"]).max())
+    disp = float(np.abs(trajs["f32"]
+                        - np.asarray(sim.point_positions(consts, state))
+                        ).max())
+    out = {"n_ip": n_ip, "kres": args.kres, "B_MB_f32": b_mb,
+           "init_s": init_s, "f32": results["f32"],
+           "bf16": results["bf16"],
+           "traj_max_dev": dev, "traj_max_disp": disp,
+           "speedup": results["bf16"]["steps_per_s"]
+           / results["f32"]["steps_per_s"]}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,13 +98,18 @@ class PieNeRFConfig:
     # measured envelope in tools/diverge_probe.py). 1 = reference behavior.
     sim_substeps: int = 1
     # TPU-build extra: crop each tile's march range to its bend-candidate
-    # span before sampling (lossless in deformed non-cut mode; concentrates
-    # quadrature on the object — PERF.md "Sampling density").
-    tighten_sampling: bool = False
+    # span before sampling (lossless in deformed non-cut mode, auto-disabled
+    # in cut mode; concentrates quadrature on the object — PERF.md
+    # "Sampling density"). Default-on since round 3: +0.6 dB at -6% FPS on
+    # the trained-field frontier.
+    tighten_sampling: bool = True
     # TPU-build extra: depth samples per ray in the interactive tile path —
-    # the quality/rate slider (PERF.md "Sampling density": 64 -> 42 FPS,
-    # 128 + tighten -> +2 dB at 26 FPS, 32 + tighten -> 57 FPS).
-    render_samples: int = 64
+    # the quality/rate slider. Default 128 since round 3: on a TRAINED
+    # field the frontier is shallow in FPS (the kernel is not sample-bound;
+    # PERF.md trained-field table: K=32 -> 81 FPS/27.8 dB-vs-dense,
+    # K=128+tighten -> 59 FPS/34.9 dB), so fidelity is bought with K
+    # directly instead of adaptive sample placement.
+    render_samples: int = 128
     # TPU-build extra: cache the one-time f64 sim precompute per scene
     # (content-addressed npz under <workspace>/sim_cache; 140-410 s at 24k
     # IPs -> seconds on a warm start). 0 disables.

@@ -86,6 +86,39 @@ class BeamBendSettings(NamedTuple):
     ips_per_tile: int = 192       # P: beam candidate capacity
     bin_capacity: int = 8         # B: IPs per depth bin
     beam_margin: float = 0.08     # world-space slack around the beam
+    halo_bins: int = 1            # XLA fallback path only: bins each side
+    #                               of a sample's own bin in its candidate
+    #                               window (static; see auto_halo). The
+    #                               fused kernel instead derives a PER-TILE
+    #                               halo from bend_reach, which adapts to
+    #                               each tile's bin width.
+    bend_reach: float = 0.0       # world-space candidate reach per sample
+    #                               (fused kernel). 0 = auto: 2 * ip_dx.
+    #                               The Newton reject bounds the PER-AXIS
+    #                               rest-space move |F^-1 (x - p_def)| by
+    #                               ip_dx, so an accepted IP can sit up to
+    #                               sqrt(3) * ||F|| * ip_dx ~ 2 * ip_dx
+    #                               from the sample in deformed space. The
+    #                               round-3 fidelity find (tools/
+    #                               halo_probe*.py): the round-2 fixed
+    #                               +-1-bin halo truncated this reach to
+    #                               one bin (span/K world units), losing
+    #                               2-7 dB vs exact bending as K grew.
+
+
+def reach_of(settings: "BeamBendSettings") -> float:
+    """Effective world-space candidate reach (see bend_reach)."""
+    return (settings.bend_reach if settings.bend_reach > 0.0
+            else 2.0 * settings.ip_dx)
+
+
+def auto_halo(reach: float, span: float, K: int) -> int:
+    """Static halo bins for the XLA fallback path: cover `reach` world
+    units each side of a sample when a bin is span/K wide. Use a LOWER
+    span estimate when unsure — too many halo bins costs VPU work, too
+    few silently misassigns nearest IPs (tools/halo_probe.py)."""
+    import math
+    return max(1, int(math.ceil(reach * K / max(span, 1e-6))))
 
 
 def select_tile_candidates(
@@ -146,7 +179,7 @@ def bin_candidates(
     mask: jax.Array,             # [C, P]
     t0: jax.Array,               # [C]
     dt_bin: jax.Array,           # [C] bin width ((t1-t0)/K)
-    n_bins: int,                 # K + 2 (halo bins at each end)
+    n_bins: int,                 # K + 2*halo_bins (halo bins at each end)
     return_dropped: bool = False,
 ):
     """Scatter candidates into depth bins. Returns [C, n_bins, B, 48]
@@ -158,7 +191,7 @@ def bin_candidates(
     C, P = cand_proj.shape
     width = cand_pack.shape[-1]
     b = jnp.clip(jnp.floor((cand_proj - t0[:, None]) / dt_bin[:, None]).astype(
-        jnp.int32) + 1, 0, n_bins - 1)                          # halo offset
+        jnp.int32) + settings.halo_bins, 0, n_bins - 1)         # halo offset
     b = jnp.where(mask, b, n_bins)                              # dropped
 
     # rank within (tile, bin): sort by bin then positional scan
@@ -242,35 +275,39 @@ def bend_tile_samples(
     settings: BeamBendSettings,
     bins: jax.Array,             # [C, n_bins, B, 48]
     x: Tuple[jax.Array, jax.Array, jax.Array],   # each [C, T2, K]
-    sample_bin: None = None,     # samples are bin-aligned: sample k -> bin k+1
+    sample_bin: None = None,     # samples are bin-aligned: sample k -> bin
+    #                              k + halo_bins
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array]:
     """Bend tile samples. Sample at depth index k sees candidate bins
-    k, k+1, k+2 (i.e. its own bin plus halo neighbors).
+    k .. k + 2*halo_bins (i.e. its own bin plus halo_bins neighbors each
+    side — enough to cover ip_dx in world units, see auto_halo).
 
     Returns (mapped positions (3 x [C, T2, K]), found [C, T2, K])."""
     C, n_bins, B, width = bins.shape
     fast = width == PACK_FAST      # single-Newton-step compact layout
-    K = n_bins - 2
+    h = settings.halo_bins
+    K = n_bins - 2 * h
     T2 = x[0].shape[1]
     kseek = settings.num_seek_ip
 
-    # candidate window per depth index: [C, K, 3B, width]
+    # candidate window per depth index: [C, K, (2h+1)B, width]
     win = jnp.concatenate(
-        [bins[:, 0:K], bins[:, 1:K + 1], bins[:, 2:K + 2]], axis=2)
+        [bins[:, j:K + j] for j in range(2 * h + 1)], axis=2)
 
-    # distances laid out [C, 3B, T2, K]: the candidate axis must stay OFF
-    # the minor dims — a [.., K, 3B] layout pads 3B=24 lanes to 128 (5.3x
-    # HBM inflation, measured dominant; PERF.md layout rule)
+    # distances laid out [C, WB, T2, K] (WB = (2h+1)B): the candidate axis
+    # must stay OFF the minor dims — a [.., K, WB] layout pads WB=24 lanes
+    # to 128 (5.3x HBM inflation, measured dominant; PERF.md layout rule)
+    WB = (2 * h + 1) * B
     d2 = None
     for i in range(3):
-        pc = win[..., i]                                        # [C, K, 3B]
+        pc = win[..., i]                                        # [C, K, WB]
         diff = x[i][:, None, :, :] - jnp.swapaxes(pc, 1, 2)[:, :, None, :]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     # empty slots carry validity flag 0 (last pack slot)
-    empty = jnp.swapaxes(win[..., width - 1] == 0.0, 1, 2)      # [C, 3B, K]
+    empty = jnp.swapaxes(win[..., width - 1] == 0.0, 1, 2)      # [C, WB, K]
     d2 = jnp.where(empty[:, :, None, :], jnp.inf, d2)
 
-    sidx = jnp.arange(3 * B)[None, :, None, None]               # [1,3B,1,1]
+    sidx = jnp.arange(WB)[None, :, None, None]                  # [1,WB,1,1]
     mapped = [jnp.zeros_like(x[i]) for i in range(3)]
     wsum = jnp.zeros_like(x[0])
     d2_work = d2

@@ -69,9 +69,12 @@ def prep_candidates(
     """Depth-sorted beam candidates + per-bin prefix counts.
 
     Returns (cand [A, P, 16] sorted by depth along the beam axis with
-    invalid rows pushed to the end, bin_start [A, n_bins+1] int32 prefix
-    counts aligned to bin edges t0e + (j-1)*dt, n_dropped [A] candidates
-    past the P capacity, t0e [A], t1e [A]).
+    invalid rows pushed to the end, bin_start [A, n_bins+2] int32 prefix
+    counts aligned to bin edges t0e + (j-1)*dt with the tile's total valid
+    count appended as the last entry (so the kernel's end-clamped windows
+    can include candidates projecting past the binned range — they are
+    physically reachable from samples near the range ends), n_dropped [A]
+    candidates past the P capacity, t0e [A], t1e [A]).
 
     ``tighten_margin`` > 0 crops each tile's depth range [t0, t1] to its
     candidates' projection span +- the margin before binning. In deformed
@@ -145,11 +148,13 @@ def prep_candidates(
              * dt[:, None])                                     # [A, n_bins+1]
     bin_start = jnp.sum(cproj[:, :, None] < edges[:, None, :],
                         axis=1).astype(jnp.int32)
-    # candidates whose projection falls outside [edge_0, edge_last) are in
-    # no sample's window (beam margin zone, or axis-vs-ray projection skew
-    # on wide-FOV tiles) — count them as dropped rather than silently
-    # unreachable
-    n_dropped = n_dropped + bin_start[:, 0] + (count - bin_start[:, -1])
+    # append the tile's valid count: candidates whose projection falls
+    # outside [edge_0, edge_last) stay reachable through the end-clamped
+    # windows (rows [0, bin_start[0]) and [bin_start[-2], count) of the
+    # sorted list), so they are NOT counted as dropped — n_dropped is
+    # purely the P-capacity overflow
+    bin_start = jnp.concatenate(
+        [bin_start, count[:, None].astype(jnp.int32)], axis=1)
     return cand, bin_start, n_dropped, t0e, t1e
 
 
@@ -230,6 +235,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         # par_ref [1, 1, 24] SMEM:  o(3) bbmin(3) bbmax(3) T_thresh dscale ip_dx
         #                        min_near cut_bounds(6) t_jitter (slot 19,
         #                        in [0,1), 0.5 = bin centers; spp jitter)
+        #                        bend reach (slot 20, world units)
         # dirs_ref [1, 8, T2] VMEM: rows 0..2 = ray dir components
         # cand_ref [1, P, 16] VMEM: depth-sorted fast-pack candidate rows
         # w_ref    [L, Wd, Wd] VMEM: packed MLP weights (Wd = 64 or 128)
@@ -285,26 +291,56 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
             kidx = (jax.lax.broadcasted_iota(jnp.int32, (1, Nb), 1)
                     // T2).astype(jnp.float32)                   # depth index
 
+            # per-tile dynamic halo: the candidate window must cover the
+            # world-space bend reach (beam_bend.reach_of: the per-axis
+            # Newton reject admits IPs up to ~2*ip_dx from a sample) on
+            # each side, and THIS tile's bin width is dt_s = (t1-t0)/K.
+            # A static bin-count halo under-covers short-span (grazing /
+            # tightened) tiles — the round-3 silhouette-error find
+            # (tools/halo_probe2.py)
+            reach = par_ref[0, 0, 20]
+            halo = jnp.maximum(
+                jnp.ceil(reach / jnp.maximum(dt_s, 1e-9)).astype(jnp.int32),
+                1)    # floor at the legacy 1-bin halo (reach 0 = unset)
+
             def bend_sub(s, b, xf_sub):
                 """Bend one Ksb-deep sub-segment [1, Nbb] against its own
-                6-bin candidate window (Wn rows). Returns (xm parts, found).
+                (Ksb + 2*halo)-bin candidate window (Wn rows). Returns
+                (xm parts, found).
 
                 The sub-window keeps the per-sample candidate neighborhood
-                tight (bins b-1 .. b+Ksb), which is what bounds the VPU cost
-                of the d2/argmin passes — a full Ks-segment window was
-                measured 2.6x more work with worse truncation."""
+                tight, which is what bounds the VPU cost of the d2/argmin
+                passes — a full Ks-segment window was measured 2.6x more
+                work with worse truncation. When the window clamps at
+                either end of the binned range it extends to the sorted
+                list's edge (row 0 / the appended valid count), keeping
+                outside-binning candidates reachable from end samples."""
                 Nbb = T2 * Ksb
                 k0 = s * Ks + b * Ksb
-                lo = bs_ref[0, 0, k0]
-                hi = bs_ref[0, 0, k0 + Ksb + 2]
-                # clamp slice start; the row mask keeps [lo, hi) exact.
-                # When the clamp engages, [lo, hi) fits entirely inside
-                # the slice, so the drop count stays correct.
-                lo_c = jnp.minimum(lo, P - Wn)
-                st_ref[1] += jnp.maximum(hi - lo_c - Wn, 0)
-                cw = cand_ref[0, pl.ds(lo_c, Wn), :]            # [Wn, 16]
+                # sample depth k -> bin k+1; window bins [k0+1-halo,
+                # k0+Ksb+halo] -> prefix edges [k0+1-halo, k0+Ksb+1+halo]
+                lo_i = k0 + 1 - halo
+                hi_i = k0 + Ksb + 1 + halo
+                lo = jnp.where(lo_i <= 0, 0,
+                               bs_ref[0, 0, jnp.maximum(lo_i, 0)])
+                hi = jnp.where(hi_i >= K + 2, bs_ref[0, 0, K + 3],
+                               bs_ref[0, 0, jnp.minimum(hi_i, K + 2)])
+                # When [lo, hi) exceeds Wn rows, CENTER the kept rows on
+                # the sub-segment's own bins: a depth-sorted prefix would
+                # keep only the window's near end, starving far samples of
+                # their own neighborhoods (measured WORSE than the legacy
+                # 1-bin halo on dense wide-FOV tiles —
+                # test_reach_halo_beats_legacy_one_bin_halo_vs_exact).
+                # Overflow is counted either way.
+                own_lo = bs_ref[0, 0, k0 + 1]
+                own_hi = bs_ref[0, 0, k0 + Ksb + 1]
+                a = own_lo - (Wn - (own_hi - own_lo)) // 2
+                a = jnp.clip(a, lo, jnp.maximum(lo, hi - Wn))
+                a = jnp.clip(a, 0, P - Wn)
+                st_ref[1] += jnp.maximum(hi - lo - Wn, 0)
+                cw = cand_ref[0, pl.ds(a, Wn), :]               # [Wn, 16]
                 rowi = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
-                row_ok = ((rowi >= lo - lo_c) & (rowi < hi - lo_c)
+                row_ok = ((rowi >= lo - a) & (rowi < hi - a)
                           & (cw[:, PACK_FAST - 1:PACK_FAST] > 0.0))
 
                 dd = None
@@ -439,12 +475,17 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                     # (in cut mode, samples outside cut_bounds render the
                     # static scene even with no candidates — no skip)
                     # whole-segment skip: no candidates in the segment's
-                    # depth range means every sample is unfound -> sigma 0
-                    # -> zero contribution (reference semantics: samples
-                    # with no nearby IP are skipped,
-                    # raymarching.cu:1316-1371); saves the MLP too
-                    nonempty = (bs_ref[0, 0, s * Ks + Ks + 2]
-                                - bs_ref[0, 0, s * Ks]) > 0
+                    # depth range (including the halo) means every sample
+                    # is unfound -> sigma 0 -> zero contribution
+                    # (reference semantics: samples with no nearby IP are
+                    # skipped, raymarching.cu:1316-1371); saves the MLP too
+                    slo_i = s * Ks + 1 - halo
+                    shi_i = s * Ks + Ks + 1 + halo
+                    slo = jnp.where(slo_i <= 0, 0,
+                                    bs_ref[0, 0, jnp.maximum(slo_i, 0)])
+                    shi = jnp.where(shi_i >= K + 2, bs_ref[0, 0, K + 3],
+                                    bs_ref[0, 0, jnp.minimum(shi_i, K + 2)])
+                    nonempty = (shi - slo) > 0
                     pred = pred & nonempty
 
                 @pl.when(pred)
@@ -460,8 +501,8 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "K", "Ks", "Ksb", "Wn", "num_seek", "deformed",
-                     "cut", "interpret"),
+    static_argnames=("spec", "K", "Ks", "Ksb", "Wn", "num_seek",
+                     "deformed", "cut", "interpret"),
 )
 def render_tiles(
     spec: network.NetworkSpec,
@@ -490,7 +531,9 @@ def render_tiles(
     n_color = spec.num_layers_color
     cdt = jnp.dtype(spec.compute_dtype)
     BS = bin_start.shape[1]
-    assert BS >= K + 3, f"bin_start width {BS} < K+3"
+    assert BS >= K + 4, (
+        f"bin_start width {BS} < K+4 (prefix counts + appended valid "
+        f"count — prep_candidates)")
 
     assert K % Ks == 0 and Ks % Ksb == 0
     wd = packed_w.shape[-1]

@@ -57,6 +57,14 @@ class InteractiveSettings(NamedTuple):
     #                                lossless (out-of-span samples are
     #                                provably unfound) and concentrates
     #                                quadrature on the object
+    bend_window: int = 64          # fused kernel: Wn candidate rows per
+    #                                bend sub-window. Must hold the
+    #                                candidates within the bend reach of a
+    #                                Ksb-deep sub-segment (overflow is
+    #                                counted in dropped_window). 64 covers
+    #                                the reach-scaled windows at default
+    #                                density (tools/halo_sweep.py: zero
+    #                                drops, ~9% FPS vs 32)
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -184,9 +192,9 @@ def render_frame(
                 jnp.broadcast_to(tan_half, (C,)), t0, t1,
                 return_dropped=True)
             dt_bin = (t1 - t0) / K
-            bins, dr_bin = beam_bend.bin_candidates(st.bend, cand, proj, m,
-                                                    t0, dt_bin, K + 2,
-                                                    return_dropped=True)
+            bins, dr_bin = beam_bend.bin_candidates(
+                st.bend, cand, proj, m, t0, dt_bin,
+                K + 2 * st.bend.halo_bins, return_dropped=True)
             dr_beam = jnp.sum(jnp.where(cmask, dr_beam, 0))
             dr_bin = jnp.sum(jnp.where(cmask, dr_bin, 0))
         else:
@@ -363,9 +371,12 @@ def render_frame_fused(
         fx = intrinsics[0]
         tan_half = jnp.broadcast_to(jnp.float32(ts * 0.75 / fx), (a_cap,))
         # cut mode must march the full range (outside cut_bounds renders
-        # the static scene, which has density anywhere in the box)
-        tmarg = 3.0 * st.bend.ip_dx if (st.tighten_sampling
-                                        and not st.cut) else 0.0
+        # the static scene, which has density anywhere in the box).
+        # the crop margin must exceed the bend reach so tightening stays
+        # lossless (a sample beyond reach of every candidate is unfound)
+        tmarg = (max(3.0 * st.bend.ip_dx,
+                     beam_bend.reach_of(st.bend) + st.bend.ip_dx)
+                 if (st.tighten_sampling and not st.cut) else 0.0)
         cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
             ip_pack, p_def, origin, axis, tan_half, t0, t1,
             n_cand=st.bend.ips_per_tile, n_bins=K + 2,
@@ -376,7 +387,7 @@ def render_frame_fused(
     else:
         cand = jnp.zeros((a_cap, max(st.bend.ips_per_tile, 64),
                           tile_kernel.PACK_FAST), jnp.float32)
-        bin_start = jnp.zeros((a_cap, K + 3), jnp.int32)
+        bin_start = jnp.zeros((a_cap, K + 4), jnp.int32)
         dropped_beam = jnp.int32(0)
 
     params = jnp.zeros((24,), jnp.float32)
@@ -388,6 +399,7 @@ def render_frame_fused(
     params = params.at[11].set(st.bend.ip_dx)
     params = params.at[12].set(st.min_near)
     params = params.at[19].set(t_jitter)
+    params = params.at[20].set(beam_bend.reach_of(st.bend))
     if st.cut:
         assert cut_bounds is not None
         # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
@@ -404,7 +416,7 @@ def render_frame_fused(
     Ksb = st.bend_sub if Ks % st.bend_sub == 0 else Ks
     out = tile_kernel.render_tiles(
         st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
-        K=K, Ks=Ks, Ksb=Ksb, Wn=min(32, st.bend.ips_per_tile),
+        K=K, Ks=Ks, Ksb=Ksb, Wn=min(st.bend_window, st.bend.ips_per_tile),
         num_seek=st.bend.num_seek_ip,
         deformed=st.deformed, cut=st.cut,
         interpret=jax.default_backend() == "cpu")
@@ -429,6 +441,177 @@ def render_frame_fused(
             "n_active": act_n, "n_tile_overflow": n_tile_overflow,
             "dropped_beam": dropped_beam,
             "dropped_window": dropped_window.astype(jnp.int32)}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "H", "W", "tile_chunk"))
+def render_frame_exact(
+    settings: InteractiveSettings,
+    packed_w: jax.Array,
+    p_def: jax.Array,              # [nIP, 3]
+    p_ori: jax.Array,              # [nIP, 3]
+    F: jax.Array,                  # [nIP, 3, 3]
+    dF: jax.Array,                 # [nIP, 3, 3, 3]
+    pose: jax.Array,
+    intrinsics: Tuple[float, float, float, float],
+    H: int,
+    W: int,
+    bg_color: jax.Array,
+    tile_chunk: int = 2,
+) -> Dict[str, jax.Array]:
+    """Ground-truth fidelity oracle: render_frame with EXACT bending.
+
+    Identical tile lattice, sample placement and composite as render_frame,
+    but each sample's k nearest IPs are found by brute force over ALL IPs
+    (no beam, no depth bins, no candidate windows) with the same
+    bbox / moved<=ip_dx rejections and 1/dist blend as ops/bending
+    (the reference's per-sample 27-cell walk, raymarching.cu:986-1119,
+    without the cell-size truncation). O(samples x nIP) — offline-only;
+    this is what bench's fidelity axis and tools/fidelity_diag.py compare
+    the capped interactive paths against. Deformed non-cut mode only.
+    """
+    st = settings
+    assert st.deformed and not st.cut, "oracle covers deformed non-cut mode"
+    ts = st.tile
+    n_tiles = (H // ts) * (W // ts)
+    T2 = ts * ts
+    K = st.samples
+    a_cap = int(n_tiles * st.active_frac)
+    a_cap = max(tile_chunk, (a_cap // tile_chunk) * tile_chunk)
+
+    marg = 1e-3
+    bbmin = jnp.min(p_def, axis=0) - marg
+    bbmax = jnp.max(p_def, axis=0) + marg
+
+    all_tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
+    near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
+    hit_tile = jnp.any(near_all < 1e30, axis=1)
+    rank = jnp.cumsum(hit_tile) - 1
+    take = hit_tile & (rank < a_cap)
+    act_ids = jnp.zeros((a_cap,), jnp.int32)
+    act_ids = act_ids.at[jnp.where(take, rank, a_cap)].set(
+        jnp.where(take, all_tids, 0), mode="drop")
+    act_n = jnp.sum(take)
+    act_mask = jnp.arange(a_cap) < act_n
+
+    n_chunks = a_cap // tile_chunk
+    chunk_ids = act_ids.reshape(n_chunks, tile_chunk)
+    chunk_mask = act_mask.reshape(n_chunks, tile_chunk)
+
+    # candidates outside the deformed bbox are rejected up front
+    # (bend_points' inside test)
+    ip_ok = jnp.all((p_def > bbmin) & (p_def < bbmax), axis=-1)  # [nIP]
+
+    def process(chunk):
+        tids, cmask = chunk
+        C = tile_chunk
+        o_, d = _tile_rays(tids, st, H, W, pose, intrinsics)
+        near, far = _near_far(o_, d, bbmin, bbmax, st.min_near)
+        thit = near < 1e30
+        t0 = jnp.min(jnp.where(thit, near, jnp.inf), axis=1)
+        t1 = jnp.max(jnp.where(thit, far, -jnp.inf), axis=1)
+        any_hit = jnp.isfinite(t0) & cmask
+        t0 = jnp.where(any_hit, t0, 1.0)
+        t1 = jnp.where(any_hit, jnp.maximum(t1, t0 + 1e-3), 1.001)
+
+        kk = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+        t = t0[:, None] + (t1 - t0)[:, None] * kk[None, :]
+        dt = ((t1 - t0) / K)[:, None]
+        xs = tuple(o_[i] + t[:, None, :] * d[i][:, :, None]
+                   for i in range(3))                           # [C, T2, K]
+
+        x = jnp.stack([c.reshape(-1) for c in xs], axis=-1)     # [M, 3]
+        # exact k-NN over all IPs, in sample blocks to bound the [m, nIP]
+        # distance matrix
+        M = C * T2 * K
+        blk = 8192
+        nb = (M + blk - 1) // blk
+        pad = nb * blk - M
+        xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nb, blk, 3)
+
+        kseek = st.bend.num_seek_ip
+
+        def nn_block(xq):
+            d2 = None
+            for i in range(3):
+                diff = xq[:, i:i + 1] - p_def[None, :, i]       # [blk, nIP]
+                d2 = diff * diff if d2 is None else d2 + diff * diff
+            d2 = jnp.where(ip_ok[None, :], d2, jnp.inf)
+            rows = jnp.arange(blk)
+            ids, dist = [], []
+            for _ in range(kseek):
+                j = jnp.argmin(d2, axis=1)
+                best = d2[rows, j]
+                ids.append(j.astype(jnp.int32))
+                dist.append(jnp.sqrt(jnp.maximum(best, 0.0)))
+                d2 = d2.at[rows, j].set(jnp.inf)
+            return jnp.stack(ids, 1), jnp.stack(dist, 1)        # [blk, k]
+
+        idsb, distb = jax.lax.map(nn_block, xb)
+        ids = idsb.reshape(-1, kseek)[:M]
+        dist = distb.reshape(-1, kseek)[:M]
+
+        from pienerf_tpu.ops import bending as bend_ops
+        p_rest, _ = bend_ops.newton_invert(
+            x, p_ori[ids], p_def[ids], F[ids], dF[ids],
+            st.bend.max_iter_num)                               # [M, k, 3]
+        has = jnp.isfinite(dist)
+        moved = jnp.abs(p_rest - p_ori[ids])
+        ok = has & jnp.all(moved <= st.bend.ip_dx, axis=-1)
+        w = jnp.where(ok, 1.0 / jnp.maximum(dist, 1e-8), 0.0)
+        wsum = jnp.sum(w, axis=1)
+        found_f = wsum > 0
+        wn = w / jnp.maximum(wsum, 1e-30)[:, None]
+        x_rest = jnp.einsum("mk,mkd->md", wn, p_rest)
+        x_rest = jnp.where(found_f[:, None], x_rest, x)
+
+        found = found_f.reshape(C, T2, K)
+        xm = tuple(x_rest[:, i].reshape(C, T2, K) for i in range(3))
+
+        valid = found & (t[:, None, :] >= near[..., None]) \
+            & (t[:, None, :] <= far[..., None]) & thit[..., None]
+        flat = tuple(c.reshape(M) for c in xm)
+        ds = tuple(jnp.broadcast_to(d[i][:, :, None],
+                                    (C, T2, K)).reshape(-1) for i in range(3))
+        sigma, rgb = field_kernel.field_eval(packed_w, st.spec, flat, ds,
+                                             block_n=8192)
+        sigma = (sigma * st.density_scale).reshape(C, T2, K)
+        sigma = jnp.where(valid, sigma, 0.0)
+        rgb = rgb.reshape(3, C, T2, K)
+
+        tau = sigma * dt[:, None, :]
+        cum = jnp.cumsum(tau, axis=-1)
+        T_excl = jnp.exp(-(cum - tau))
+        alpha = 1.0 - jnp.exp(-tau)
+        T_prev = jnp.concatenate(
+            [jnp.ones_like(cum[..., :1]), jnp.exp(-cum[..., :-1])], axis=-1)
+        include = T_prev >= st.T_thresh
+        w2 = jnp.where(include, alpha * T_excl, 0.0)
+        ws = jnp.sum(w2, axis=-1)
+        depth = jnp.sum(w2 * t[:, None, :], axis=-1)
+        img = jnp.stack([jnp.sum(w2 * rgb[i], axis=-1) for i in range(3)],
+                        axis=-1)
+        return img, depth, ws
+
+    imgs, depths, wss = jax.lax.map(process, (chunk_ids, chunk_mask))
+    imgs = imgs.reshape(a_cap, T2, 3)
+    depths = depths.reshape(a_cap, T2)
+    wss = wss.reshape(a_cap, T2)
+
+    bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (3,))
+    frame = jnp.zeros((n_tiles, T2, 3), jnp.float32) + bg
+    fdepth = jnp.zeros((n_tiles, T2), jnp.float32)
+    fws = jnp.zeros((n_tiles, T2), jnp.float32)
+    imgs = imgs + (1.0 - wss)[..., None] * bg
+    safe_ids = jnp.where(act_mask, act_ids, n_tiles)
+    frame = frame.at[safe_ids].set(imgs, mode="drop")
+    fdepth = fdepth.at[safe_ids].set(depths, mode="drop")
+    fws = fws.at[safe_ids].set(wss, mode="drop")
+    return {"tiles_image": frame, "tiles_depth": fdepth, "tiles_ws": fws,
+            "n_active": act_n,
+            "n_tile_overflow": jnp.sum(hit_tile) - act_n,
+            "dropped_beam": jnp.int32(0), "dropped_window": jnp.int32(0)}
 
 
 def tiles_to_image(tiles: np.ndarray, H: int, W: int, ts: int = 16

@@ -163,3 +163,42 @@ def test_interactive_translation_equivariance():
     # and the shifted frame from the UNSHIFTED camera must differ
     img_other, *_ = _render_frames(c, deformed=True)
     assert psnr(img_other, img_rest) < p - 3.0
+
+
+def test_exact_oracle_matches_xla_path_on_dense_cloud():
+    """render_frame_exact (brute-force 3-NN over all IPs — the fidelity
+    ground truth in tools/fidelity_diag.py) must closely agree with the
+    binned XLA path on a dense translated cloud where the caps are not
+    binding: both resolve the same nearest IPs, so the only differences
+    are blend-order rounding."""
+    from pienerf_tpu.ops.pallas import field_kernel
+    spec = network.make_spec(bound=1.0, backbone="mlp",
+                             compute_dtype="float32")
+    params = network.init_params(jax.random.PRNGKey(0), spec)
+    pw = field_kernel.pack_weights(params, spec)
+    H = W = 64
+    intr = (64.0, 64.0, W / 2, H / 2)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0, 0, -2.5)
+
+    shift = (0.12, -0.05, 0.0)
+    p_def, p_ori, F, dF = _ip_grid(dx=0.08, shift=shift)
+    pack = beam_bend.pack_ip_data(p_def, p_ori, F, dF)
+    bst = beam_bend.BeamBendSettings(num_seek_ip=3, max_iter_num=1,
+                                     ip_dx=0.085, ips_per_tile=1024,
+                                     bin_capacity=32)
+    st = interactive.InteractiveSettings(
+        spec=spec, bend=bst, tile=16, samples=32, active_frac=1.0,
+        tile_chunk=4, min_near=0.05)
+    out_x = interactive.render_frame(
+        st, pw, pack, p_def, jnp.asarray(pose), intr, H, W,
+        jnp.float32(1.0))
+    out_e = interactive.render_frame_exact(
+        st, pw, p_def, p_ori, F, dF, jnp.asarray(pose), intr, H, W,
+        jnp.float32(1.0))
+    img_x = interactive.tiles_to_image(out_x["tiles_image"], H, W, 16)
+    img_e = interactive.tiles_to_image(out_e["tiles_image"], H, W, 16)
+    assert np.all(np.isfinite(img_e))
+    assert int(out_e["n_active"]) == int(out_x["n_active"])
+    p = psnr(img_x, img_e)
+    assert p > 35.0, f"exact-vs-binned PSNR {p}"

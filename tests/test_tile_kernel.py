@@ -55,7 +55,7 @@ def test_prep_candidates_sorted_and_binned():
         n_cand=P, n_bins=nb, beam_margin=0.08)
     np.testing.assert_allclose(np.asarray(t0e), 1.5)   # margin 0: unchanged
     np.testing.assert_allclose(np.asarray(t1e), 3.5)
-    assert cand.shape == (A, P, 16) and bs.shape == (A, nb + 1)
+    assert cand.shape == (A, P, 16) and bs.shape == (A, nb + 2)
     # depth-sorted: valid rows have non-decreasing projection
     proj = np.asarray(jnp.einsum("apd,ad->ap", cand[..., :3] - origin[:, None],
                                  axis))
@@ -262,3 +262,65 @@ def test_fused_vs_exact_bending_found_samples():
     # and both must be substantial for rays through the object
     assert ws.max() > 0.1
     assert np.all(ws <= ws_s + 1e-3)
+
+
+def test_reach_halo_beats_legacy_one_bin_halo_vs_exact():
+    """Round-3 fidelity fix: each sample's candidate window must cover the
+    world-space bend reach (~2*ip_dx), not a fixed +-1 bin. At high K the
+    bins are much narrower than the reach, so the legacy 1-bin halo
+    (bend_reach ~ 0, floored to 1 bin) misassigns nearest IPs; the
+    reach-scaled window must land strictly closer to the exact
+    brute-force oracle (tools/halo_probe*.py measured 25.6 -> 31+ dB at
+    800x800; this pins the same ordering at test scale)."""
+    from pienerf_tpu.train.metrics import psnr as psnr_fn
+    spec = network.make_spec(bound=1.0, backbone="mlp",
+                             compute_dtype="float32")
+    params = network.init_params(jax.random.PRNGKey(1), spec)
+    pw = field_kernel.pack_weights(params, spec)
+    H = W = 32
+    intr = (64.0, 64.0, W / 2, H / 2)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (0, 0, -2.5)
+
+    # non-rigid twist so nearest-IP assignment matters (a pure translation
+    # is inverted exactly by ANY accepted candidate)
+    p_ori_np = np.asarray(_ip_grid(dx=0.1)[1])
+    ang = 0.9 * p_ori_np[:, 1]
+    ca, sa = np.cos(ang), np.sin(ang)
+    p_def_np = np.stack([
+        ca * p_ori_np[:, 0] + sa * p_ori_np[:, 2],
+        p_ori_np[:, 1],
+        -sa * p_ori_np[:, 0] + ca * p_ori_np[:, 2]], 1).astype(np.float32)
+    n = p_ori_np.shape[0]
+    F = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    F[:, 0, 0] = ca; F[:, 0, 2] = sa
+    F[:, 2, 0] = -sa; F[:, 2, 2] = ca
+    dF = np.zeros((n, 3, 3, 3), np.float32)
+    p_def, p_ori = jnp.asarray(p_def_np), jnp.asarray(p_ori_np)
+    Fj, dFj = jnp.asarray(F), jnp.asarray(dF)
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, Fj, dFj)
+
+    K = 64   # bins ~0.02 world << reach 0.21: the legacy halo starves
+    base = beam_bend.BeamBendSettings(num_seek_ip=3, max_iter_num=1,
+                                      ip_dx=0.105, ips_per_tile=256,
+                                      bin_capacity=8)
+    ist = interactive.InteractiveSettings(
+        spec=spec, bend=base, tile=16, samples=K, active_frac=1.0,
+        tile_chunk=4, min_near=0.05, bend_window=64)
+
+    out_e = interactive.render_frame_exact(
+        ist, pw, p_def, p_ori, Fj, dFj, jnp.asarray(pose), intr, H, W,
+        jnp.float32(1.0))
+    img_e = interactive.tiles_to_image(out_e["tiles_image"], H, W, 16)
+
+    def fused(reach):
+        st = ist._replace(bend=base._replace(bend_reach=reach))
+        out = interactive.render_frame_fused(
+            st, pw, pack, p_def, jnp.asarray(pose), intr, H, W,
+            jnp.float32(1.0))
+        return interactive.tiles_to_image(out["tiles_image"], H, W, 16)
+
+    p_new = psnr_fn(fused(0.0), img_e)       # auto reach = 2*ip_dx
+    p_old = psnr_fn(fused(1e-6), img_e)      # legacy 1-bin halo
+    assert p_new > p_old + 1.0, (p_new, p_old)
+    assert p_new > 30.0, p_new

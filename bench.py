@@ -62,6 +62,7 @@ def main() -> None:
         gravity=(0.0, 0.0, 0.0), stiff=1e5,
         base=np.array([-1.0, -1.0, -1.0]),
     )
+    state_init = state   # rest state for the deterministic fidelity frame
 
     # field: the committed 30k-iter quality-run checkpoint when present
     # (real geometry -> realistic early-termination behavior; this is what
@@ -188,50 +189,66 @@ def main() -> None:
     steps_per_s = float(np.median(rates))
     assert bool(jnp.isfinite(st2.ddof).all()), "sim diverged in solver bench"
 
-    # fidelity: the fused capped frame vs the XLA tile path at
-    # near-exhaustive capacities (ips_per_tile covers every IP, uncapped
-    # active tiles, 32-deep bins). This prices the capacity caps + in-kernel
-    # window truncation in image terms (BASELINE.md PSNR axis; the two paths
-    # share bend/field math, so differences are purely the capped candidate
-    # sets).
-    # sampling must MATCH between the two paths (the XLA reference cannot
-    # tighten spans), so the fused side of this comparison runs with
-    # tighten off — the axis prices capacity caps, not sample placement
-    # (the placement axis is priced by tools/k_frontier.py).
-    ist_nt = ist._replace(tighten_sampling=False)
+    # fidelity: the fused production frame vs the EXACT-bending oracle
+    # (render_frame_exact: brute-force 3-NN over ALL IPs on the identical
+    # tile/sample lattice — strictly stronger than the reference's 27-cell
+    # hash walk, raymarching.cu:986-1119). Round 2 compared against the
+    # XLA tile path at exhaustive caps instead; that reference shared the
+    # fused path's bin-halo defect and was itself the LESS accurate path
+    # (PERF.md "Bend fidelity"), so its number flattered nothing but
+    # couldn't be trusted either way. Both sides f32 at matched sampling
+    # (tighten off — the oracle marches the full tile span): the axis
+    # prices the approximate candidate selection ONLY; quadrature is
+    # priced by tools/k_frontier.py, precision measured separately
+    # (78 dB, tools/fidelity_diag.py).
+    # The comparison state is DETERMINISTIC and decoupled from the FPS
+    # loop above (5 fixed-force sim steps from rest), so the oracle frame
+    # — ~5 min of brute-force compute — can be cached as a committed
+    # artifact (runs/bench_oracle_*.npz, regenerated by deleting the
+    # file). The oracle depends only on the sim/field/oracle code paths,
+    # never on the fused kernel under test.
+    spec32 = spec._replace(compute_dtype="float32")
+    pw32 = field_kernel.pack_weights(params, spec32)
+    ist_nt = ist._replace(tighten_sampling=False, spec=spec32)
 
     @jax.jit
-    def frame_nt(st, fi):
-        p_ip = vid_rest + jnp.einsum("ia,iad->d", vid_nx,
-                                     st.ddof[vid_kernel])
-        ang = 0.25 * fi
-        target = vid_rest + 0.25 * jnp.stack(
-            [jnp.cos(ang), jnp.sin(ang), jnp.float32(0.0)])
-        f = jnp.clip(spring_k * (target - p_ip), -5e5, 5e5)
-        return pipeline.interactive_frame_step(
-            ist_nt, consts, st, pw, pose_j, intr, H, W, jnp.float32(1.0),
-            force_vid, f)
+    def push(st):
+        f = jnp.asarray([2e3, 0.0, 0.0], jnp.float32)
+        st = sim.update_force(consts, st, force_vid, f)
+        return sim.sim_step(consts, st)
 
-    state, out_f = frame_nt(state, jnp.float32(fi))  # fused frame at state'
-    p_def, F, dF = sim.get_ip_info(consts, state)   # same state'
-    pack48 = beam_bend.pack_ip_data(
+    st_fid = state_init
+    for _ in range(5):
+        st_fid = push(st_fid)
+    p_def, F, dF = sim.get_ip_info(consts, st_fid)
+    pack_fast = beam_bend.pack_ip_data_fast(
         p_def, consts.ip_pos.astype(jnp.float32), F, dF)
-    # genuinely uncapped: ips_per_tile covers EVERY IP (no min(1024, ...)
-    # cap — at ~3k IPs that cap silently bit), verified below by asserting
-    # the reference frame's drop counters are all zero
-    bst_x = bst._replace(ips_per_tile=int(np.ceil(n / 64) * 64),
-                         bin_capacity=32)
-    ist_x = ist._replace(bend=bst_x, active_frac=1.0)
-    out_x = interactive.render_frame(
-        ist_x, pw, pack48, p_def, pose_j, intr, H, W, jnp.float32(1.0))
-    for key in ("dropped_beam", "dropped_window", "n_tile_overflow"):
-        nd = int(out_x[key])
-        assert nd == 0, f"'uncapped' reference frame dropped work: {key}={nd}"
-    img_x = interactive.tiles_to_image(
-        np.asarray(out_x["tiles_image"]), H, W)
+    out_f = interactive.render_frame_fused(
+        ist_nt, pw32, pack_fast, p_def, pose_j, intr, H, W,
+        jnp.float32(1.0))
     img_f = interactive.tiles_to_image(
         np.asarray(out_f["tiles_image"]), H, W)
-    mse = float(np.mean((img_x - img_f) ** 2))
+
+    oracle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"runs/bench_oracle_{H}_K{ist.samples}_{n}ip.npz")
+    meta = f"{field_src}|seek3|5push"
+    if os.path.exists(oracle_path):
+        z = np.load(oracle_path)
+        assert str(z["meta"]) == meta, (
+            f"stale oracle cache {oracle_path}: {z['meta']} != {meta} — "
+            f"delete it to regenerate")
+        img_x = z["img"].astype(np.float32)
+    else:
+        out_x = interactive.render_frame_exact(
+            ist_nt, pw32, p_def, consts.ip_pos.astype(jnp.float32), F, dF,
+            pose_j, intr, H, W, jnp.float32(1.0))
+        assert int(out_x["n_active"]) == int(out_f["n_active"])
+        img_x = interactive.tiles_to_image(
+            np.asarray(out_x["tiles_image"]), H, W)
+        np.savez_compressed(oracle_path, img=img_x.astype(np.float16),
+                            meta=meta)
+    mse = float(np.mean((img_x.astype(np.float32) - img_f) ** 2))
     psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
 
     # Reference interactive setpoint: 80 ms/frame at 1/4-downscaled
@@ -251,9 +268,10 @@ def main() -> None:
         "extras": {
             "solver_steps_per_s": round(steps_per_s, 1),
             "capacity_drops_frame0": drops,
-            "fused_vs_uncapped_path_psnr": round(psnr, 2),
+            "fused_vs_exact_bend_psnr": round(psnr, 2),
             "field": field_src,
-            "operating_point": "K=128 + tightened spans (default)",
+            "operating_point": ("K=128 + tightened spans + reach-scaled "
+                                "bend windows (default)"),
         },
     }))
 

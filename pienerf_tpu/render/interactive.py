@@ -136,9 +136,11 @@ def render_frame(
     a_cap = max(st.tile_chunk, (a_cap // st.tile_chunk) * st.tile_chunk)
 
     marg = 1e-3
-    if st.cut:
-        # cut mode marches the full scene box; bending applies inside
-        # cut_bounds only, the rest of the scene renders statically
+    if st.cut or not st.deformed:
+        # cut mode marches the full scene box (bending applies inside
+        # cut_bounds only, the rest renders statically); a STATIC frame
+        # (deformed=False) must too — density exists anywhere in the
+        # bound box, and p_def may be a placeholder
         bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
         bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
     else:
@@ -321,7 +323,9 @@ def render_frame_fused(
     a_cap = max(st.tile_chunk, (a_cap // st.tile_chunk) * st.tile_chunk)
 
     marg = 1e-3
-    if st.cut:
+    if st.cut or not st.deformed:
+        # static frames (deformed=False) march the full scene box — the
+        # field has density anywhere and p_def may be a placeholder
         bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
         bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
     else:

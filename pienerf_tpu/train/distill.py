@@ -142,8 +142,9 @@ def image_agreement(
     poses, intrinsics, H: int, W: int,
     grid=None, n_grid_updates: int = 6,
     teacher_max_samples: int = 256,
-    student_samples: int = 64,
+    student_samples: int = 128,   # the round-3 default operating point K
     bg_color: float = 1.0,
+    teacher_chunk: int = 8192,
 ) -> Dict[str, Any]:
     """IMAGE-space distillation fidelity (round-3 item 2).
 
@@ -194,8 +195,12 @@ def image_agreement(
 
     psnrs, ssims = [], []
     for pose in poses:
+        # small ray chunks: a hashgrid teacher's encode materializes
+        # [8, L, rays*K] corner arrays — 65536-ray chunks at K=256 are an
+        # 8.6 GB HLO temp (OOM on a 16 GB chip); 8192 keeps it ~1 GB
         t_out = rlib.render_image(t_params, t_spec, settings, grid,
-                                  pose, intrinsics, H, W, bg_color)
+                                  pose, intrinsics, H, W, bg_color,
+                                  chunk=teacher_chunk)
         s_out = interactive.render_frame_fused(
             ist, pw, dummy_pack, dummy_pdef, jnp.asarray(pose, jnp.float32),
             intrinsics, H, W, jnp.float32(bg_color))

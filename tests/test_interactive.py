@@ -146,8 +146,15 @@ def test_interactive_frame_runs_and_is_sane():
                                                    deformed=False)
     assert img.shape == (64, 64, 3)
     assert np.all(np.isfinite(img))
-    # corners (missing the object box) must be background
-    assert abs(img[0, 0, 0] - 1.0) < 1e-5
+    # a static frame marches the full [-bound, bound] box (density can be
+    # anywhere; reference nears/fars vs the scene AABB) — the random field
+    # must be visible somewhere
+    assert np.any(np.abs(img - 1.0) > 1e-3)
+    # from far enough back the corner rays MISS the scene box entirely:
+    # those pixels must be exact background
+    img_far, *_ = _render_frames((0.0, 0.0, 0.0), deformed=False,
+                                 cam_shift=(0.0, 0.0, -3.5))
+    assert abs(img_far[0, 0, 0] - 1.0) < 1e-5
 
 
 def test_interactive_translation_equivariance():

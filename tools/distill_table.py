@@ -90,7 +90,7 @@ def fit_hashgrid_teacher(steps: int = 2000, batch: int = 8192,
     return params, spec
 
 
-def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=64, reps=8):
+def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=128, reps=8):
     """Deformed fused-frame rate at an identity-deformation IP cloud of
     the sphere (3-seek bend; the bench render protocol minus sim)."""
     from pienerf_tpu.ops import beam_bend
@@ -110,8 +110,10 @@ def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=64, reps=8):
                                        jnp.asarray(dF))
     bst = beam_bend.BeamBendSettings(num_seek_ip=3, max_iter_num=1,
                                      ip_dx=1.05 * dx, ips_per_tile=256)
+    # the round-3 default operating point: K=128 + tightened spans
     ist = interactive.InteractiveSettings(
-        spec=s_spec, bend=bst, tile=16, samples=samples, min_near=0.05)
+        spec=s_spec, bend=bst, tile=16, samples=samples, min_near=0.05,
+        tighten_sampling=True)
     pw = field_kernel.pack_weights(s_params, s_spec)
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = (0.0, 0.0, -2.5)
@@ -140,7 +142,19 @@ def main():
     ap.add_argument("--fps_reps", type=int, default=8)
     args = ap.parse_args()
 
-    t_params, t_spec = fit_hashgrid_teacher(steps=args.teacher_steps)
+    # cache the fitted teacher: reruns of the table (or of downstream
+    # tools) should not pay the multi-minute fit again
+    from pienerf_tpu.io import checkpoint as ckpt_io
+    cache = f"runs/distill_teacher_s{args.teacher_steps}.npz"
+    if os.path.exists(cache):
+        print(f"[teacher] cached: {cache}", flush=True)
+        t_params, _ = ckpt_io.load_native(cache)
+        t_spec = network.make_spec(bound=1.0, backbone="hashgrid")
+    else:
+        t_params, t_spec = fit_hashgrid_teacher(steps=args.teacher_steps)
+        os.makedirs("runs", exist_ok=True)
+        ckpt_io.save_native(cache, jax.tree_util.tree_map(np.asarray,
+                                                          t_params))
 
     H = W = args.H
     focal = 0.9 * H

@@ -263,6 +263,105 @@ def encode(embeddings: jax.Array, spec: HashGridSpec, inputs: Coords,
     return out.T
 
 
+def _grid_index_of(spec: HashGridSpec, pos_grid, axis_delta=None):
+    """Grid index [L, N] of integer lattice coords (list of D [L, N] u32
+    arrays), optionally shifted by +-1 along one axis: axis_delta =
+    (axis, +1|-1). Same table machinery as encode()'s corner indices."""
+    D = spec.input_dim
+    L = spec.num_levels
+    tables, mask, width = _axis_tables(spec)
+    _, _, _, offs, dense = _level_constants(spec)
+    lvl_base = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(width))[:, None]
+
+    acc_dense = None
+    acc_hash = None
+    for dd in range(D):
+        delta = 0
+        if axis_delta is not None and axis_delta[0] == dd:
+            delta = axis_delta[1]
+        if dd == 0:
+            # axis 0: prime is 1 and the dense x-stride is 1 — identity
+            c = pos_grid[0] + jnp.uint32(delta) if delta >= 0 else \
+                pos_grid[0] - jnp.uint32(-delta)
+            cd = ch = c
+        else:
+            flat = (lvl_base + pos_grid[dd]).astype(jnp.int32) + delta
+            cd = ch = tables[dd - 1][flat]
+        acc_dense = cd if acc_dense is None else acc_dense + cd
+        acc_hash = ch if acc_hash is None else acc_hash ^ ch
+    idx = jnp.where(dense[:, None], acc_dense, acc_hash & mask[:, None])
+    return (idx + offs[:, None]).astype(jnp.int32)
+
+
+def grad_total_variation(embeddings: jax.Array, spec: HashGridSpec,
+                         inputs: Coords, weight: float = 1e-7,
+                         bound: float = 1.0) -> jax.Array:
+    """Total-variation gradient accumulated at sampled lattice cells.
+
+    TPU-native equivalent of the reference's unused-in-training TV kernel
+    (gridencoder/src/gridencoder.cu:506-636, grid.py:165-185): for each
+    sample's floor cell, per channel, add
+
+        weight/(2D) * sum_d (e[c] - e[c +- 1_d]) * rsqrt(sum_d (.)^2 + 1e-9)
+
+    at the cell's table row — an L2-normalized TV descent direction. The
+    CUDA kernel scatters with atomicAdd (nondeterministic); here the
+    scatter is a deterministic `.at[].add`. Returns a [total_params, C]
+    array to ADD to the embeddings' gradient before the optimizer step
+    (the reference mutates `embeddings.grad` in place).
+
+    OOB inputs contribute nothing. Neighbors past the lattice ends
+    ([0, resolution] per axis) are skipped exactly as the kernel's
+    `cur_d < resolution` / `cur_d > 0` guards do.
+    """
+    D = spec.input_dim
+    L = spec.num_levels
+    C = spec.level_dim
+    comps = _components(inputs, D)
+    comps = [(c + bound) / (2.0 * bound) for c in comps]
+    n = comps[0].shape[0]
+
+    oob = comps[0] < -1.0
+    for c in comps:
+        oob = oob | (c < 0.0) | (c > 1.0)
+
+    scales, res, _, _, _ = _level_constants(spec)
+    pos_grid = []
+    for c in comps:
+        p = c[None, :] * scales[:, None] + 0.5
+        pos_grid.append(jnp.floor(p).astype(jnp.uint32))
+
+    center = _grid_index_of(spec, pos_grid)                     # [L, N]
+    e = embeddings.astype(jnp.float32)
+    ec = e[center]                                              # [L, N, C]
+
+    results = jnp.zeros((L, n, C), jnp.float32)
+    idelta = jnp.zeros((L, n, C), jnp.float32)
+    for d in range(D):
+        cur = pos_grid[d]
+        # right neighbor: cur_d < resolution
+        ok_r = (cur < res[:, None])[..., None]
+        idx_r = _grid_index_of(spec, pos_grid, axis_delta=(d, +1))
+        gv = jnp.where(ok_r, ec - e[idx_r], 0.0)
+        results = results + gv
+        idelta = idelta + gv * gv
+        # left neighbor: cur_d > 0
+        ok_l = (cur > 0)[..., None]
+        idx_l = _grid_index_of(spec, pos_grid, axis_delta=(d, -1))
+        gv = jnp.where(ok_l, ec - e[idx_l], 0.0)
+        results = results + gv
+        idelta = idelta + gv * gv
+
+    w = weight / (2.0 * D)
+    vals = w * results * jax.lax.rsqrt(idelta + 1e-9)
+    vals = jnp.where(oob[None, :, None], 0.0, vals)
+
+    grad = jnp.zeros(embeddings.shape, jnp.float32)
+    grad = grad.at[center.reshape(-1)].add(
+        vals.reshape(-1, C), mode="drop")
+    return grad.astype(embeddings.dtype)
+
+
 # ---------------------------------------------------------------------------
 # numpy oracle (used by tests to pin down index semantics)
 # ---------------------------------------------------------------------------
@@ -313,3 +412,63 @@ def encode_np(embeddings: np.ndarray, spec: HashGridSpec, inputs: np.ndarray,
                 index = index % hashmap_size + spec.offsets[lvl]
                 out[n, lvl] += wgt * embeddings[index]
     return out.reshape(N, spec.num_levels * spec.level_dim)
+
+
+def tv_grad_np(embeddings: np.ndarray, spec: HashGridSpec, inputs: np.ndarray,
+               weight: float = 1e-7, bound: float = 1.0) -> np.ndarray:
+    """Scalar-loop oracle mirroring kernel_grad_tv (gridencoder.cu:506-611)
+    line by line (align_corners=False, hash gridtype)."""
+    D = spec.input_dim
+    S = math.log2(spec.per_level_scale)
+    H = spec.base_resolution
+    C = spec.level_dim
+    x = (np.asarray(inputs, np.float64) + bound) / (2 * bound)
+    grad = np.zeros_like(np.asarray(embeddings, np.float64))
+
+    def grid_index(loc, hashmap_size, resolution):
+        stride = 1
+        index = 0
+        for d in range(D):
+            if stride > hashmap_size:
+                break
+            index += int(loc[d]) * stride
+            stride *= resolution + 1
+        if stride > hashmap_size:
+            index = 0
+            for d in range(D):
+                index ^= (int(loc[d]) * _PRIMES[d]) & 0xFFFFFFFF
+            index &= 0xFFFFFFFF
+        return index % hashmap_size
+
+    w = weight / (2 * D)
+    for n in range(x.shape[0]):
+        if np.any(x[n] < 0) or np.any(x[n] > 1):
+            continue
+        for lvl in range(spec.num_levels):
+            hashmap_size = spec.offsets[lvl + 1] - spec.offsets[lvl]
+            scale = np.exp2(lvl * S) * H - 1.0
+            resolution = int(np.ceil(scale)) + 1
+            pos_grid = np.floor(x[n] * scale + 0.5).astype(np.int64)
+            index = grid_index(pos_grid, hashmap_size, resolution) \
+                + spec.offsets[lvl]
+            results = np.zeros(C)
+            idelta = np.zeros(C)
+            for d in range(D):
+                cur = pos_grid[d]
+                if cur < resolution:
+                    pos_grid[d] = cur + 1
+                    ir = grid_index(pos_grid, hashmap_size, resolution) \
+                        + spec.offsets[lvl]
+                    gv = embeddings[index] - embeddings[ir]
+                    results += gv
+                    idelta += gv * gv
+                if cur > 0:
+                    pos_grid[d] = cur - 1
+                    il = grid_index(pos_grid, hashmap_size, resolution) \
+                        + spec.offsets[lvl]
+                    gv = embeddings[index] - embeddings[il]
+                    results += gv
+                    idelta += gv * gv
+                pos_grid[d] = cur
+            grad[index] += w * results / np.sqrt(idelta + 1e-9)
+    return grad

@@ -150,6 +150,78 @@ def make_train_step(
     return train_step
 
 
+def make_clip_step(
+    spec: network.NetworkSpec,
+    optimizer: optax.GradientTransformation,
+    clip_params,
+    text_z,
+    rH: int,
+    rW: int,
+    intrinsics,
+    radius: float = 1.0,
+    bound: float = 1.0,
+    num_samples: int = 64,
+    clip_size: int = 224,
+    ema_decay: float = 0.95,
+) -> Callable:
+    """CLIP-guided train step (reference rand_pose mode,
+    nerf/trainer.py:163-178 + provider.py:277-297): render a LOW-RES full
+    frame from a random orbit pose through the differentiable hierarchical
+    path on a white background, descend the negative image-text cosine
+    similarity. Entirely device-side (the orbit pose is sampled in-jit,
+    unlike the reference's host-side rand_poses).
+
+    ``clip_size`` overrides the 224 CLIP input so tests can run a tiny
+    vision tower.
+    """
+    from pienerf_tpu.data.rays import get_rays_full
+    from pienerf_tpu.render import fast as fastlib
+    from pienerf_tpu.train import clip_guidance as cg
+
+    fast_settings = fastlib.FastSettings(
+        bound=bound, num_coarse=num_samples // 2,
+        num_fine=num_samples - num_samples // 2)
+
+    @jax.jit
+    def clip_step(state: TrainState, rng: jax.Array):
+        k_pose, k_perturb = jax.random.split(rng)
+        # orbit pose (reference provider.py:57-91 ranges):
+        # theta in [pi/3, 2pi/3], phi in [0, 2pi), look-at origin
+        u1, u2 = jax.random.uniform(k_pose, (2,))
+        theta = jnp.pi / 3.0 + u1 * jnp.pi / 3.0
+        phi = u2 * 2.0 * jnp.pi
+        center = radius * jnp.stack([
+            jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta),
+            jnp.sin(theta) * jnp.cos(phi)])
+        fwd = -center / jnp.linalg.norm(center)
+        up = jnp.asarray([0.0, 1.0, 0.0])
+        right = jnp.cross(fwd, up)
+        right = right / jnp.maximum(jnp.linalg.norm(right), 1e-8)
+        upv = jnp.cross(right, fwd)
+        pose = jnp.eye(4, dtype=jnp.float32)
+        pose = pose.at[:3, 0].set(right).at[:3, 1].set(upv)
+        pose = pose.at[:3, 2].set(-fwd).at[:3, 3].set(center)
+        rays_o, rays_d = get_rays_full(pose, intrinsics, rH, rW)
+
+        def loss_fn(params):
+            out = fastlib.render_rays_fast(
+                params, spec, fast_settings, rays_o, rays_d,
+                jnp.ones((rays_o.shape[0], 3)), k_perturb)
+            img = out["image"].reshape(1, rH, rW, 3)
+            return cg.clip_loss(clip_params, img, text_z, size=clip_size)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, params)
+        return TrainState(params, opt_state, ema, state.step + 1), loss
+
+    return clip_step
+
+
 def make_train_chunk(
     train_step: Callable,
     H: int,
@@ -491,6 +563,57 @@ class Trainer:
                                        self.global_step)
         return float(np.mean(losses))
 
+    # -- CLIP guidance (reference rand_pose mode, trainer.py:138-141) ------
+
+    def _clip_guidance(self):
+        """Lazy CLIPGuidance with prepared text, or None with a logged
+        reason (weights/tokenizer are gated under zero egress —
+        train/clip_guidance.py docstring has the export recipes)."""
+        if hasattr(self, "_clip_guide"):
+            return self._clip_guide
+        from pienerf_tpu.train import clip_guidance as cg
+
+        self._clip_guide = None
+        if not cg.available():
+            self.log("[trainer] rand_pose mode without CLIP weights: "
+                     "skipping CLIP guidance (see train/clip_guidance.py)")
+            return None
+        tok_dir = os.environ.get("PIENERF_CLIP_TOKENIZER")
+        if not tok_dir:
+            self.log("[trainer] CLIP weights present but no tokenizer "
+                     "(set PIENERF_CLIP_TOKENIZER to a local "
+                     "CLIPTokenizer dir); skipping CLIP guidance")
+            return None
+        guide = cg.CLIPGuidance()
+        guide.prepare_text([self.cfg.clip_text], tokenizer_dir=tok_dir)
+        self._clip_guide = guide
+        return guide
+
+    def train_clip_iterations(self, H: int, W: int, intrinsics,
+                              n_iters: int, clip_size: int = 224) -> float:
+        """n_iters CLIP-guided steps at the reference's low-res full-frame
+        economy (provider.py:287-289: rH = H / sqrt(H*W/num_rays))."""
+        guide = self._clip_guidance()
+        if guide is None:
+            return float("nan")
+        s = float(np.sqrt(H * W / self.cfg.num_rays))
+        rH, rW = max(int(H / s), 8), max(int(W / s), 8)
+        intr = tuple(float(v) / s for v in intrinsics)
+        key = (rH, rW, intr, clip_size)
+        if getattr(self, "_clip_step_key", None) != key:
+            self._clip_step_fn = make_clip_step(
+                self.spec, self.optimizer, guide.params, guide.text_z,
+                rH, rW, intr, radius=self.cfg.radius, bound=self.cfg.bound,
+                num_samples=self.cfg.train_max_samples, clip_size=clip_size)
+            self._clip_step_key = key
+        losses = []
+        for _ in range(n_iters):
+            self.rng, k = jax.random.split(self.rng)
+            self.state, loss = self._clip_step_fn(self.state, k)
+            self.global_step += 1
+            losses.append(float(loss))
+        return float(np.mean(losses))
+
     def train(self, train_dataset, valid_dataset=None,
               max_iters: Optional[int] = None) -> None:
         total = max_iters or self.cfg.iters
@@ -499,7 +622,21 @@ class Trainer:
         done = 0
         while done < total:
             n = min(chunk, total - done)
-            loss = self.train_iterations(train_dataset, n)
+            if self.cfg.rand_pose == 0:
+                # CLIP-only training (reference: rand_pose=0 means every
+                # batch is a random pose scored by CLIP)
+                loss = self.train_clip_iterations(
+                    train_dataset.H, train_dataset.W,
+                    train_dataset.intrinsics, n)
+            else:
+                loss = self.train_iterations(train_dataset, n)
+                if self.cfg.rand_pose > 0:
+                    # hybrid: one rand-pose CLIP batch per rand_pose known
+                    # batches (reference provider.py:327-328)
+                    self.train_clip_iterations(
+                        train_dataset.H, train_dataset.W,
+                        train_dataset.intrinsics,
+                        max(n // self.cfg.rand_pose, 1))
             done += n
             self.log(
                 f"[train] iter {self.global_step}/{total} loss={loss:.6f} "

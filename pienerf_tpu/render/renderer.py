@@ -130,6 +130,11 @@ def render_image(
     n = H * W
     # don't pad small frames up to a huge chunk; round to a power of two
     chunk = min(chunk, max(256, 1 << (n - 1).bit_length()))
+    if spec.backbone == "hashgrid":
+        # the hashgrid encode materializes [8, L, rays*K] corner arrays:
+        # a 65536-ray chunk at K=256 is a 25 GB HBM program (measured OOM
+        # on the 16 GB chip); 8192 keeps the peak ~1 GB
+        chunk = min(chunk, 8192)
     imgs, deps, wss = [], [], []
     bg = jnp.asarray(bg_color, jnp.float32)
     for s in range(0, n, chunk):

@@ -16,11 +16,13 @@ def main():
     parser.add_argument("--steps", type=int, default=4000)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--distill_lr", type=float, default=5e-3)
-    parser.add_argument("--student_width", type=int, default=128,
+    parser.add_argument("--student_width", type=int, default=64,
                         choices=(64, 128),
-                        help="student MLP width; 128 fills the MXU tile "
-                             "(~4x capacity at the same fused-kernel "
-                             "matmul wall time)")
+                        help="student MLP width. 64 holds >=30 FPS "
+                             "deformed at 800x800 with 40.6 dB teacher "
+                             "agreement; 128 fills the MXU tile for max "
+                             "fidelity (43.6 dB at 25 FPS) — PERF.md "
+                             "'Distillation fidelity'")
     from pienerf_tpu.config import get_shared_opts
     cfg = get_shared_opts(parser)
     ns, _ = parser.parse_known_args()

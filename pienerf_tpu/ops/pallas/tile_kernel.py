@@ -65,6 +65,7 @@ def prep_candidates(
     n_bins: int,             # K + 2 (1-bin halo each side)
     beam_margin: float,
     tighten_margin: float = 0.0,
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Depth-sorted beam candidates + per-bin prefix counts.
 
@@ -109,7 +110,17 @@ def prep_candidates(
     # Overflow keeps the P front-most candidates and is counted.
     keyv = jnp.where(ok, -proj, -jnp.inf)
     k_eff = min(P, keyv.shape[1])                 # small scenes: nIP < P
-    negproj, ids = jax.lax.top_k(keyv, k_eff)                   # [A, k]
+    if approx_topk and keyv.shape[1] > k_eff:
+        # TPU-native approximate top-k (bin-reduce + exact aggregate):
+        # ~2x the exact top_k's rate at [1248, 3053] (tools/micro_prep2.py:
+        # 7.2 -> 3.5 ms). Bin collisions can drop ~ (1 - recall) of
+        # candidates even on non-overflowing tiles; the image cost is
+        # priced on the trained field vs the exact-bending oracle before
+        # this is allowed anywhere near default-on (PERF.md).
+        negproj, ids = jax.lax.approx_max_k(
+            keyv, k_eff, recall_target=0.95, aggregate_to_topk=True)
+    else:
+        negproj, ids = jax.lax.top_k(keyv, k_eff)               # [A, k]
     if k_eff < P:
         padn = P - k_eff
         negproj = jnp.concatenate(

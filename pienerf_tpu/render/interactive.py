@@ -65,6 +65,12 @@ class InteractiveSettings(NamedTuple):
     #                                the reach-scaled windows at default
     #                                density (tools/halo_sweep.py: zero
     #                                drops, ~9% FPS vs 32)
+    prep_approx_topk: bool = False  # candidate compaction via the TPU's
+    #                                approx_max_k (recall 0.95) instead of
+    #                                exact top_k — ~3.5 ms/frame cheaper at
+    #                                bench shape, but bin collisions drop
+    #                                ~5% of candidates; fidelity cost vs
+    #                                the exact oracle is priced in PERF.md
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -384,7 +390,8 @@ def render_frame_fused(
         cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
             ip_pack, p_def, origin, axis, tan_half, t0, t1,
             n_cand=st.bend.ips_per_tile, n_bins=K + 2,
-            beam_margin=st.bend.beam_margin, tighten_margin=tmarg)
+            beam_margin=st.bend.beam_margin, tighten_margin=tmarg,
+            approx_topk=st.prep_approx_topk)
         tile_sc = tile_sc.at[:, 0].set(t0)
         tile_sc = tile_sc.at[:, 1].set(t1)
         dropped_beam = jnp.sum(jnp.where(act_mask, n_drop_beam, 0))

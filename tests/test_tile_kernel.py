@@ -69,6 +69,33 @@ def test_prep_candidates_sorted_and_binned():
         assert b[-1] == valid[a].sum()
 
 
+def test_prep_candidates_approx_topk_contract():
+    """approx_topk keeps the output contract (depth-sorted valid-first,
+    monotone prefix counts); on CPU lax.approx_max_k is exact, so the
+    result must equal the exact path bit-for-bit there."""
+    p_def, p_ori, F, dF = _ip_grid()
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    A, P, nb = 3, 64, 34
+    origin = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (A, 1))
+    axis = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (A, 1))
+    args = (pack, p_def, origin, axis, jnp.full((A,), 0.02),
+            jnp.full((A,), 1.5), jnp.full((A,), 3.5))
+    kw = dict(n_cand=P, n_bins=nb, beam_margin=0.08)
+    cand_a, bs_a, nd_a, *_ = tile_kernel.prep_candidates(
+        *args, approx_topk=True, **kw)
+    cand_e, bs_e, nd_e, *_ = tile_kernel.prep_candidates(*args, **kw)
+    proj = np.asarray(jnp.einsum(
+        "apd,ad->ap", cand_a[..., :3] - origin[:, None], axis))
+    valid = np.asarray(cand_a[..., 15]) > 0
+    for a in range(A):
+        assert np.all(np.diff(proj[a][valid[a]]) >= -1e-6)
+        assert np.all(np.diff(np.asarray(bs_a[a])) >= 0)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(cand_a),
+                                      np.asarray(cand_e))
+        np.testing.assert_array_equal(np.asarray(bs_a), np.asarray(bs_e))
+
+
 def test_fused_static_matches_xla_path():
     """deformed=False: identical sampling/MLP/composite math -> the fused
     kernel must reproduce the round-1 XLA path almost exactly."""

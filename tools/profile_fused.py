@@ -38,15 +38,21 @@ from pienerf_tpu.render import interactive, pipeline
 from pienerf_tpu.sim import solver as sim
 
 
-def median_ms(fn, n=8, reps=3):
-    fn(0)
+def median_ms(step, fetch, n=16, reps=3):
+    """step(k) enqueues work (chained device-side, NO host sync);
+    fetch() forces one scalar host read. The tunnel's flat ~28 ms fetch
+    cost amortizes over n; per-call fetching floors every stage at
+    ~50 ms (measured) and tells you nothing."""
+    step(0)
+    fetch()
     outs = []
     k = 1
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
-            fn(k)
+            step(k)
             k += 1
+        fetch()
         outs.append((time.perf_counter() - t0) / n * 1e3)
     return float(np.median(outs))
 
@@ -110,12 +116,15 @@ def main():
             ist, consts, st, pw, pose_j, intr, H, W, jnp.float32(1.0),
             fvid, f)
     stc = state
+    acc = [None]
 
     def run_coupled(k):
         nonlocal stc
         stc, out = coupled(stc, jnp.float32(1.0 + 1e-4 * k))
-        _ = float(jnp.sum(out["tiles_image"]))
-    print(f"coupled frame: {median_ms(run_coupled, n=8):.2f} ms")
+        acc[0] = out["tiles_image"] if acc[0] is None \
+            else acc[0] + out["tiles_image"]
+    print(f"coupled frame: "
+          f"{median_ms(run_coupled, lambda: float(jnp.sum(acc[0]))):.2f} ms")
 
     # --- sim only
     sts = state
@@ -123,8 +132,8 @@ def main():
     def run_sim(k):
         nonlocal sts
         sts = push(sts, 1.0 + 1e-4 * k)
-        _ = float(sts.ddof[0, 0, 0])
-    print(f"sim_step:      {median_ms(run_sim, n=8):.2f} ms")
+    print(f"sim_step:      "
+          f"{median_ms(run_sim, lambda: float(sts.ddof[0, 0, 0])):.2f} ms")
 
     # --- pack only
     @jax.jit
@@ -133,24 +142,27 @@ def main():
         return beam_bend.pack_ip_data_fast(
             p_def, consts.ip_pos.astype(jnp.float32), F, dF), p_def
     stp = state
+    pk_last = [None]
 
     def run_pack(k):
         nonlocal stp
         stp = push(stp, 1.0 + 1e-4 * k)
-        pk, pd = pack_fn(stp)
-        _ = float(pk[0, 0])
-    t_pack_sim = median_ms(run_pack, n=8)
-    print(f"sim+pack:      {t_pack_sim:.2f} ms")
+        pk_last[0], _pd = pack_fn(stp)
+    print(f"sim+pack:      "
+          f"{median_ms(run_pack, lambda: float(pk_last[0][0, 0])):.2f} ms")
 
     # --- full fused frame (prep + kernel), fixed sim state
     pk, pd = pack_fn(state)
+    facc = [None]
 
     def run_frame(k):
         out = interactive.render_frame_fused(
             ist, pw, pk, pd, pose_j, intr, H, W, jnp.float32(1.0),
             t_jitter=0.25 + 1e-5 * (k % 17))
-        _ = float(jnp.sum(out["tiles_image"]))
-    print(f"fused frame:   {median_ms(run_frame, n=8):.2f} ms")
+        facc[0] = out["tiles_image"] if facc[0] is None \
+            else facc[0] + out["tiles_image"]
+    print(f"fused frame:   "
+          f"{median_ms(run_frame, lambda: float(jnp.sum(facc[0]))):.2f} ms")
 
     # --- prep only: replicate render_frame_fused's XLA front half
     ts = 16
@@ -193,10 +205,14 @@ def main():
             beam_margin=bst.beam_margin, tighten_margin=tmarg)
         return cand, bin_start, t0e, t1e
 
+    pacc = [None]
+
     def run_prep(k):
         out = prep(pk, pd, jnp.float32(1e-7 * k))
-        _ = float(out[0][0, 0, 0])
-    print(f"prep (XLA):    {median_ms(run_prep, n=8):.2f} ms")
+        pacc[0] = out[0][0, 0, 0] if pacc[0] is None \
+            else pacc[0] + out[0][0, 0, 0]
+    print(f"prep (XLA):    "
+          f"{median_ms(run_prep, lambda: float(pacc[0])):.2f} ms")
 
 
 if __name__ == "__main__":

@@ -26,6 +26,77 @@ def sphere_rgb(x: np.ndarray) -> np.ndarray:
     return 0.5 + 0.4 * np.sin(np.asarray(x) * np.array([3.0, 5.0, 7.0]))
 
 
+# --- "hard" scene: high-frequency texture + self-occlusion ----------------
+#
+# The smooth sphere is the friendliest possible input for a Fourier-MLP
+# prior (round-3 review): low-frequency geometry, no occlusion between
+# surfaces, albedo at wavenumbers 3-7. This scene exists to stress the
+# opposite regime with a still purely-analytic field:
+#   - geometry: four overlapping lobes at different depths (a ray from most
+#     orbit poses crosses 2-3 surface sheets -> real self-occlusion and
+#     disocclusion edges), surfaces displaced by a wavenumber-(9,11,13)
+#     bump field (sharp silhouettes move at high spatial frequency),
+#   - albedo: wavenumbers (17, 23, 29) plus a phase-modulation term, far
+#     above the sphere scene's (3, 5, 7).
+# All ops are elementwise + exp, identical under numpy and jax.numpy: the
+# `xp` arg lets tools/quality_run.py run the SAME function on device while
+# tests validate it against this numpy oracle.
+
+_HARD_CENTERS = np.array([
+    [0.22, 0.02, 0.10],
+    [-0.25, 0.12, -0.20],
+    [0.00, -0.26, 0.24],
+    [-0.04, 0.28, -0.02],
+])
+_HARD_RADII = np.array([0.34, 0.27, 0.23, 0.19])
+
+
+def hard_sigma(x, sigma0: float = 60.0, sharp: float = 60.0, xp=np):
+    """Soft union of four bump-displaced lobes (see module comment)."""
+    x = xp.asarray(x)
+    bump = (0.05 * xp.sin(9.0 * x[..., 0]) * xp.sin(11.0 * x[..., 1])
+            * xp.sin(13.0 * x[..., 2]))
+    # occupancy union: 1 - prod(1 - occ_k), smooth everywhere
+    one_minus = None
+    for k in range(_HARD_CENTERS.shape[0]):
+        d = x - xp.asarray(_HARD_CENTERS[k], dtype=x.dtype)
+        r = xp.sqrt(xp.sum(d * d, axis=-1))
+        occ = 1.0 / (1.0 + xp.exp(xp.clip(
+            -sharp * (_HARD_RADII[k] + bump - r), -60.0, 60.0)))
+        one_minus = (1.0 - occ) if one_minus is None else one_minus * (1.0 - occ)
+    return sigma0 * (1.0 - one_minus)
+
+
+def hard_rgb(x, xp=np):
+    """High-frequency albedo: wavenumbers (17, 23, 29) + phase modulation."""
+    x = xp.asarray(x)
+    base = xp.sin(x * xp.asarray([17.0, 23.0, 29.0], dtype=x.dtype))
+    mod = xp.sin(7.0 * x[..., 0] * x[..., 1] + 11.0 * x[..., 2])[..., None]
+    return 0.5 + 0.35 * base + 0.1 * mod
+
+
+SCENES = {
+    "sphere": (sphere_sigma, sphere_rgb),
+    "hard": (lambda x, xp=np: hard_sigma(x, xp=xp),
+             lambda x, xp=np: hard_rgb(x, xp=xp)),
+}
+
+
+def scene_field(scene: str, xs, xp=np):
+    """(sigma, rgb) of a named analytic scene, under numpy or jax.numpy."""
+    if scene == "sphere":
+        if xp is np:
+            return sphere_sigma(xs), sphere_rgb(xs)
+        r = xp.sqrt(xp.sum(xs * xs, axis=-1))
+        sig = 40.0 / (1.0 + xp.exp(xp.clip(-40.0 * (0.5 - r), -60.0, 60.0)))
+        rgb = 0.5 + 0.4 * xp.sin(xs * xp.asarray([3.0, 5.0, 7.0],
+                                                 dtype=xs.dtype))
+        return sig, rgb
+    if scene == "hard":
+        return hard_sigma(xs, xp=xp), hard_rgb(xs, xp=xp)
+    raise ValueError(f"unknown scene {scene!r} (have: sphere, hard)")
+
+
 def _look_at(eye: np.ndarray) -> np.ndarray:
     """cam2world with +z = viewing direction (matches ray conventions)."""
     fwd = -eye / np.linalg.norm(eye)
@@ -58,8 +129,8 @@ def orbit_poses(n: int, radius: float = 2.5, seed: int = 0) -> np.ndarray:
 
 def render_gt(pose: np.ndarray, intrinsics, H: int, W: int,
               n_steps: int = 400, bound: float = 1.0,
-              bg: float = 1.0) -> np.ndarray:
-    """Dense quadrature volume rendering of the analytic scene (numpy)."""
+              bg: float = 1.0, scene: str = "sphere") -> np.ndarray:
+    """Dense quadrature volume rendering of an analytic scene (numpy)."""
     fx, fy, cx, cy = intrinsics
     j, i = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
     dirs = np.stack([(i - cx) / fx, (j - cy) / fy, np.ones_like(i)], -1)
@@ -84,8 +155,7 @@ def render_gt(pose: np.ndarray, intrinsics, H: int, W: int,
     dt = ((far - near) / n_steps)[:, None]
     xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     xs = np.clip(xs, -4.0 * bound - 4.0, 4.0 * bound + 4.0)
-    sig = sphere_sigma(xs)
-    rgb = sphere_rgb(xs)
+    sig, rgb = scene_field(scene, xs)
     tau = sig * dt
     T = np.exp(-np.cumsum(tau, axis=1) + tau)
     alpha = 1.0 - np.exp(-tau)
@@ -104,10 +174,23 @@ class SyntheticDataset:
 
 
 def make_dataset(n_views: int = 16, H: int = 64, W: int = 64,
-                 seed: int = 0) -> SyntheticDataset:
+                 seed: int = 0, scene: str = "sphere") -> SyntheticDataset:
     focal = 0.9 * H
     intr = (focal, focal, W / 2.0, H / 2.0)
     poses = orbit_poses(n_views, seed=seed)
-    images = np.stack([render_gt(p, intr, H, W) for p in poses])
+    images = np.stack([render_gt(p, intr, H, W, scene=scene) for p in poses])
     return SyntheticDataset(poses=poses.astype(np.float32), images=images,
                             intrinsics=intr, H=H, W=W)
+
+
+def scene_points(scene: str, dx: float = 0.05, thresh: float = 0.5,
+                 bound: float = 0.7) -> np.ndarray:
+    """Physics point cloud for an analytic scene: lattice points where the
+    occupancy 1 - exp(-sigma/ ~) clears `thresh` (the role of
+    main_sample.py's density threshold for real checkpoints)."""
+    c = np.arange(-bound, bound + 1e-6, dx)
+    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], 1)
+    sig, _ = scene_field(scene, pts)
+    occ = 1.0 - np.exp(-sig * dx)
+    return pts[occ > thresh]

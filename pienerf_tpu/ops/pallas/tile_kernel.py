@@ -370,11 +370,21 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                     best = jnp.min(ddw, axis=0, keepdims=True)  # [1, Nbb]
                     j = jnp.argmin(ddw, axis=0, keepdims=True)
                     has = jnp.isfinite(best)
-                    onehot = ((widx == j) & has).astype(cdt)
-                    # fetch [16, Nbb] = cw^T [16, Wn] @ onehot [Wn, Nbb]
+                    onehot = ((widx == j) & has).astype(jnp.float32)
+                    # fetch [16, Nbb] = cw^T [16, Wn] @ onehot [Wn, Nbb].
+                    # The fetch must run at FULL f32 precision even when
+                    # the MLP matmuls are bf16: TPU's default f32 matmul
+                    # is a single bf16 pass, and truncating the fetched
+                    # p_def/p_ori/F^-1 rows to bf16 (~0.4% relative)
+                    # smears the |p_rest - p_ori| <= ip_dx accept
+                    # boundary ~1000x wider than f32 rounding — measured
+                    # as ~400 near-full-scale pixel flips vs the exact
+                    # oracle (38.2 dB floor, tools/fidelity_decomp.py;
+                    # same rule as beam_bend._HI for the XLA path).
                     sel = jax.lax.dot_general(
-                        cw.astype(cdt), onehot,
+                        cw, onehot,
                         dimension_numbers=(((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
                     q0 = xf_sub[0] - sel[0:1]
                     q1 = xf_sub[1] - sel[1:2]

@@ -469,6 +469,7 @@ def render_frame_exact(
     W: int,
     bg_color: jax.Array,
     tile_chunk: int = 2,
+    nn_radius: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Ground-truth fidelity oracle: render_frame with EXACT bending.
 
@@ -480,6 +481,12 @@ def render_frame_exact(
     without the cell-size truncation). O(samples x nIP) — offline-only;
     this is what bench's fidelity axis and tools/fidelity_diag.py compare
     the capped interactive paths against. Deformed non-cut mode only.
+
+    ``nn_radius`` (diagnostic, tools/fidelity_decomp.py): when given, the
+    k-NN seek only considers IPs within that radius of the sample —
+    isolating how much of a capped path's error is *slot occupancy* (the
+    global top-k including far, always-rejected IPs that a windowed
+    search cannot see).
     """
     st = settings
     assert st.deformed and not st.cut, "oracle covers deformed non-cut mode"
@@ -549,6 +556,8 @@ def render_frame_exact(
                 diff = xq[:, i:i + 1] - p_def[None, :, i]       # [blk, nIP]
                 d2 = diff * diff if d2 is None else d2 + diff * diff
             d2 = jnp.where(ip_ok[None, :], d2, jnp.inf)
+            if nn_radius is not None:
+                d2 = jnp.where(d2 <= nn_radius * nn_radius, d2, jnp.inf)
             rows = jnp.arange(blk)
             ids, dist = [], []
             for _ in range(kseek):

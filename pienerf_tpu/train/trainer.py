@@ -312,6 +312,18 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed if seed is not None else cfg.seed)
         self.rng, k = jax.random.split(self.rng)
         params = network.init_params(k, self.spec)
+        # The reference applies EMA(0.95) once per EPOCH (nerf/
+        # trainer.py:512-513), and an epoch is one pass over the train
+        # loader = one step per image (provider.py:325-332) — so its
+        # effective PER-STEP decay is 0.95^(1/n_images), a window of
+        # hundreds-to-thousands of steps. Round 3 applied 0.95 per STEP
+        # (a ~20-step window), which let held-out evals ride the raw Adam
+        # post-convergence wander: the 800x800 curve peaked at 48.6 dB at
+        # step 6k and DECLINED to 45.5 by 30k (PERF.md). The per-step
+        # decay is derived from the dataset length when training starts
+        # (_ensure_ema_decay); until then the per-step base applies.
+        self._ema_base = 0.95
+        self._ema_step_decay = self._ema_base
         self.optimizer = make_optimizer(cfg.lr, cfg.iters)
         self.state = TrainState(
             params=params,
@@ -330,8 +342,10 @@ class Trainer:
             else:
                 print("[trainer] patch mode without LPIPS weights: "
                       "MSE-only patch loss (see train/lpips.py to enable)")
+        self._lpips_weights = lpips_w
         self._train_step = make_train_step(
             self.spec, self.settings, self.optimizer,
+            ema_decay=self._ema_step_decay,
             use_fast_path=self._use_fast_train,
             patch_size=cfg.patch_size, lpips_weights=lpips_w)
         self._density_fn = self._make_density_fn()
@@ -383,6 +397,24 @@ class Trainer:
         self.grid = gridlib.mark_untrained(self.grid, poses, intrinsics,
                                            self.cfg.bound)
 
+    def _ensure_ema_decay(self, n_views: int) -> None:
+        """Set the per-step EMA decay to match the reference's per-EPOCH
+        EMA(0.95) (nerf/trainer.py:512-513; one step per image per epoch,
+        provider.py:325-332): decay_step = 0.95 ** (1 / n_views). Rebuilds
+        the train step (and invalidates the scanned chunk) when it
+        changes — normally once, at the first train_iterations call."""
+        eff = float(self._ema_base ** (1.0 / max(int(n_views), 1)))
+        if abs(eff - self._ema_step_decay) < 1e-12:
+            return
+        self._ema_step_decay = eff
+        self._train_step = make_train_step(
+            self.spec, self.settings, self.optimizer,
+            ema_decay=eff,
+            use_fast_path=self._use_fast_train,
+            patch_size=self.cfg.patch_size,
+            lpips_weights=self._lpips_weights)
+        self._chunk_key = None
+
     def _get_train_chunk(self, H: int, W: int, intrinsics) -> Callable:
         key = (H, W, tuple(float(v) for v in intrinsics),
                bool(self.cfg.error_map))
@@ -423,6 +455,7 @@ class Trainer:
         while the state was finite going in, the chunk is rolled back and
         training continues on the eager path for this Trainer.
         """
+        self._ensure_ema_decay(len(dataset.poses))
         use_scan = os.environ.get("PIENERF_TRAIN_SCAN", "1") != "0"
         if getattr(self, "_scan_disabled", False):
             use_scan = False
@@ -514,6 +547,7 @@ class Trainer:
         """Per-step loop (see train_iterations: hosted-tunnel fallback and
         large-dataset mode — with host_images the full image set stays in
         host RAM and only each step's sampled pixels transfer)."""
+        self._ensure_ema_decay(len(dataset.poses))
         losses = []
         poses = jnp.asarray(dataset.poses, jnp.float32)
         if host_images:
@@ -831,8 +865,10 @@ class Trainer:
             num_layers_color=len(cn))
         self._train_step = make_train_step(
             self.spec, self.settings, self.optimizer,
+            ema_decay=self._ema_step_decay,
             use_fast_path=self._use_fast_train,
-            patch_size=self.cfg.patch_size)
+            patch_size=self.cfg.patch_size,
+            lpips_weights=self._lpips_weights)
         self._chunk_key = None
         self._density_fn = self._make_density_fn()
         self.log(f"[ckpt] adopted mlp arch from checkpoint: "

@@ -21,3 +21,88 @@ if not os.environ.get("PIENERF_TEST_TPU"):
     # The hosted TPU plugin ignores the JAX_PLATFORMS env var; the config
     # knob is authoritative.
     jax.config.update("jax_platforms", "cpu")
+
+
+# --- fast tier (`pytest -m fast`): sub-2-minute signal -----------------------
+#
+# The full non-slow suite takes ~13 min cold on one CPU (round-3 review
+# weakness #6). Every test NOT marked `slow` and NOT in the measured
+# >=3s-per-test list below is auto-marked `fast`; the curated exclusions are
+# frame-level end-to-end tests whose subsystems all also have sub-3s unit
+# coverage. Durations measured with `pytest -m "not slow" --durations=60`
+# (2026-08-18, this image). Keep new heavy tests out of the tier by adding
+# them here (or marking them slow).
+
+_FAST_EXCLUDE = {
+    "test_sharding.py::test_sharded_train_step_matches_single",
+    "test_sharding.py::test_sharded_sim_step_matches_single",
+    "test_sharding.py::test_sharded_render_matches_single",
+    "test_cascade.py::test_cut_bounds_interactive_end_to_end",
+    "test_cascade.py::test_cascade2_golden_frame",
+    "test_cascade.py::test_cascade2_outer_region_gated_by_level1_bits",
+    "test_cascade.py::test_dt_gamma_render_end_to_end",
+    "test_patch_lpips.py::test_patch_training_step_runs",
+    "test_patch_lpips.py::test_lpips_pipeline_properties",
+    "test_patch_lpips.py::test_evaluate_writes_artifacts",
+    "test_patch_lpips.py::test_lpips_weight_file_roundtrip",
+    "test_tile_kernel.py::test_reach_halo_beats_legacy_one_bin_halo_vs_exact",
+    "test_tile_kernel.py::test_fused_tightened_frame_matches_untightened",
+    "test_tile_kernel.py::test_fused_vs_exact_bending_found_samples",
+    "test_tile_kernel.py::test_capacity_overflow_is_counted_not_silent",
+    "test_tile_kernel.py::test_tile_overflow_counted",
+    "test_tile_kernel.py::test_prep_candidates_tighten_margin",
+    "test_tile_kernel.py::test_fused_translation_equivariance",
+    "test_tile_kernel.py::test_fused_static_matches_xla_path",
+    "test_tile_kernel.py::test_prep_candidates_sorted_and_binned",
+    "test_trainer_features.py::test_mesh_export_from_trainer",
+    "test_trainer_features.py::test_scan_nan_tripwire_falls_back_to_eager",
+    "test_trainer_features.py::test_eager_train_fallback_matches_interface",
+    "test_trainer_features.py::test_error_map_training",
+    "test_trainer_features.py::test_host_resident_dataset_training",
+    "test_distill.py::test_distill_step_and_agreement_run",
+    "test_deformed.py::test_rest_pose_deformed_matches_static",
+    "test_deformed.py::test_deformed_full_image_helper",
+    "test_sharded_render.py::test_sharded_frame_matches_single",
+    "test_pipeline.py::test_frame_step_rest_matches_static",
+    "test_pipeline.py::test_frame_step_force_deforms_image",
+    "test_interactive.py::test_exact_oracle_matches_xla_path_on_dense_cloud",
+    "test_interactive.py::test_fast_pack_matches_general_single_newton",
+    "test_interactive.py::test_interactive_translation_equivariance",
+    "test_interactive.py::test_beam_bend_identity_and_translation",
+    "test_interactive.py::test_interactive_frame_runs_and_is_sane",
+    "test_cut_mode.py::test_cut_mode_renders_static_outside",
+    "test_goldens.py::test_golden_frames",
+    "test_models.py::test_native_checkpoint_roundtrip",
+    "test_models.py::test_network_background",
+    "test_models.py::test_torch_ngp_roundtrip",
+    "test_models.py::test_network_bf16_compute_close_to_f32",
+    "test_models.py::test_hash_encode_full_scale_runs_and_differentiates",
+    "test_models.py::test_hash_encode_interpolates_continuously",
+    "test_models.py::test_network_shapes_and_ranges",
+    "test_models.py::test_hash_encode_input_gradients",
+    "test_models.py::test_hash_encode_oob_is_zero",
+    "test_fast_render.py::test_fast_render_matches_analytic_sphere",
+    "test_fast_render.py::test_fast_render_gradients_flow",
+    "test_clip_guidance.py::test_clip_train_step_descends",
+    "test_clip_guidance.py::test_clip_loss_is_negative_cosine_and_differentiable",
+    "test_clip_guidance.py::test_image_tower_matches_transformers",
+    "test_raymarch.py::test_march_and_composite_analytic_sphere",
+    "test_raymarch.py::test_occupancy_update_marks_sphere",
+    "test_solver.py::test_bf16_b_trajectory_matches_f32",
+    "test_bending.py::test_bend_points_identity_map_is_identity",
+    "test_renderer.py::test_render_image_tiles_evenly_and_unevenly",
+    "test_renderer.py::test_render_rays_gradients_flow",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if "slow" in item.keywords:
+            continue
+        base = getattr(item, "originalname", None) or item.name
+        nid = f"{os.path.basename(str(item.fspath))}::{base}"
+        if nid in _FAST_EXCLUDE:
+            continue
+        item.add_marker(pytest.mark.fast)

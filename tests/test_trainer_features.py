@@ -31,6 +31,30 @@ def test_error_map_training(tmp_path, small_scene):
     assert np.isfinite(em).all()
 
 
+def test_ema_decay_matches_reference_epoch_cadence(tmp_path, small_scene):
+    """The reference applies EMA(0.95) once per EPOCH — one step per image
+    (nerf/trainer.py:512-513, provider.py:325-332) — so the per-step decay
+    must be 0.95^(1/n_views). Round 3 applied 0.95 per STEP (a ~20-step
+    window), which let held-out evals ride the raw Adam wander: the
+    800x800 quality curve peaked at 48.6 dB and declined to 45.5
+    (round-3 review weakness #2)."""
+    cfg = _cfg(tmp_path / "ws_ema")
+    t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    assert t._ema_step_decay == 0.95           # until a dataset is seen
+    t.train_iterations(small_scene, 4)
+    n = len(small_scene.poses)
+    assert abs(t._ema_step_decay - 0.95 ** (1.0 / n)) < 1e-12
+    # ema params actually lag the raw params (long window => small pull)
+    import jax
+    d_ema = [float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
+             for e, p in zip(jax.tree_util.tree_leaves(t.state.ema_params),
+                             jax.tree_util.tree_leaves(t.state.params))]
+    assert max(d_ema) > 0.0, "EMA froze (decay 1.0?)"
+    # after k steps from identical init, |ema - params| is bounded by the
+    # largest single-step move / (1 - decay) scaling; sanity: finite
+    assert np.isfinite(max(d_ema))
+
+
 def test_eager_train_fallback_matches_interface(tmp_path, small_scene,
                                                 monkeypatch):
     """The hosted-tunnel eager loop (PIENERF_TRAIN_SCAN=0) must train with
@@ -98,6 +122,10 @@ def test_scan_nan_tripwire_falls_back_to_eager(tmp_path):
                         workspace=str(tmp_path / "ws")).finalize()
     cfg.backbone = "mlp"
     tr = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    # train_iterations derives the per-step EMA decay from the dataset
+    # length and rebuilds the chunk when it changes — trigger that now so
+    # the monkeypatched chunk below survives
+    tr._ensure_ema_decay(len(ds.poses))
 
     def bad_chunk(state, bitfield, poses, images, error_map, rng, n_steps):
         poisoned = jax.tree_util.tree_map(lambda x: x * jnp.nan,

@@ -29,6 +29,37 @@ def test_synthetic_gt_consistency():
 
 
 @pytest.mark.slow
+def test_hard_scene_properties():
+    """The 'hard' analytic scene (round-4 quality fixture) must actually be
+    hard: higher image-gradient energy than the sphere (high-frequency
+    texture + bump-displaced silhouettes), multi-lobe occupancy, and a
+    numpy/jnp field twin that agrees (tools/quality_run.py renders GT on
+    device with the jnp twin)."""
+    import jax.numpy as jnp
+
+    pose = synthetic.orbit_poses(2, seed=3)
+    intr = (0.9 * 48, 0.9 * 48, 24.0, 24.0)
+    hard = synthetic.render_gt(pose[0], intr, 48, 48, scene="hard")
+    sph = synthetic.render_gt(pose[0], intr, 48, 48, scene="sphere")
+    assert np.isfinite(hard).all()
+    g_h = np.abs(np.diff(hard, axis=0)).mean()
+    g_s = np.abs(np.diff(sph, axis=0)).mean()
+    assert g_h > 1.3 * g_s, (g_h, g_s)
+
+    # numpy vs jnp twin of the field itself
+    xs = (np.random.RandomState(0).randn(512, 3) * 0.4).astype(np.float32)
+    s_np, r_np = synthetic.scene_field("hard", xs)
+    s_j, r_j = synthetic.scene_field("hard", jnp.asarray(xs), xp=jnp)
+    assert np.abs(s_np - np.asarray(s_j)).max() < 1e-3
+    assert np.abs(r_np - np.asarray(r_j)).max() < 1e-5
+
+    # physics point cloud: non-empty, multi-lobe (spread exceeds any
+    # single lobe's diameter), comparable to the sphere scene's count
+    pts = synthetic.scene_points("hard", dx=0.05)
+    assert 1500 < len(pts) < 6000
+    assert (pts.max(0) - pts.min(0)).max() > 0.8
+
+
 def test_end_to_end_training_fits_scene(tmp_path):
     """Train a small field on the analytic sphere and check novel-view PSNR.
 

@@ -45,9 +45,11 @@ from pienerf_tpu.data import synthetic
 from pienerf_tpu.train.metrics import psnr as psnr_fn
 
 
-def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg):
+def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg,
+              scene="sphere"):
     """One chunk of dense-quadrature GT on device (jnp twin of
-    synthetic.render_gt)."""
+    synthetic.render_gt; the analytic field itself is the SAME function
+    under xp=jnp — synthetic.scene_field)."""
     fx, fy, cx, cy = intrinsics
     idx = ray_lo + jnp.arange(n_rays)
     jj = (idx // W).astype(jnp.float32) + 0.5
@@ -72,9 +74,7 @@ def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg):
     dt = ((far - near) / n_steps)[:, None]
     xs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     xs = jnp.clip(xs, -4.0 * bound - 4.0, 4.0 * bound + 4.0)
-    r = jnp.linalg.norm(xs, axis=-1)
-    sig = 40.0 / (1.0 + jnp.exp(jnp.clip(-40.0 * (0.5 - r), -60.0, 60.0)))
-    rgb = 0.5 + 0.4 * jnp.sin(xs * jnp.asarray([3.0, 5.0, 7.0]))
+    sig, rgb = synthetic.scene_field(scene, xs, xp=jnp)
     tau = sig * dt
     T = jnp.exp(-jnp.cumsum(tau, axis=1) + tau)
     alpha = 1.0 - jnp.exp(-tau)
@@ -83,35 +83,37 @@ def _gt_chunk(pose, intrinsics, H, W, ray_lo, n_rays, n_steps, bound, bg):
 
 
 _gt_chunk_jit = jax.jit(_gt_chunk, static_argnames=(
-    "intrinsics", "H", "W", "n_rays", "n_steps", "bound", "bg"))
+    "intrinsics", "H", "W", "n_rays", "n_steps", "bound", "bg", "scene"))
 
 
 def render_gt_device(pose, intrinsics, H, W, n_steps=400, bound=1.0,
-                     bg=1.0, chunk=65536):
+                     bg=1.0, chunk=65536, scene="sphere"):
     n = H * W
     outs = []
     for lo in range(0, n, chunk):
         m = min(chunk, n - lo)
         out = _gt_chunk_jit(pose, tuple(float(v) for v in intrinsics), H, W,
-                            lo, m, n_steps, float(bound), float(bg))
+                            lo, m, n_steps, float(bound), float(bg),
+                            scene=scene)
         outs.append(np.asarray(out))
     return np.concatenate(outs).reshape(H, W, 3).astype(np.float32)
 
 
-def validate_device_gt():
+def validate_device_gt(scene="sphere"):
     """Device GT must match the numpy oracle before we trust it."""
     intr = (0.9 * 64, 0.9 * 64, 32.0, 32.0)
     pose = synthetic.orbit_poses(1, seed=3)[0]
-    ref = synthetic.render_gt(pose, intr, 64, 64)
-    dev = render_gt_device(pose, intr, 64, 64)
+    ref = synthetic.render_gt(pose, intr, 64, 64, scene=scene)
+    dev = render_gt_device(pose, intr, 64, 64, scene=scene)
     p = psnr_fn(dev, ref)
     assert p > 55.0, f"device GT diverges from numpy oracle: {p:.2f} dB"
     return p
 
 
-def make_dataset_cached(workspace, n_views, H, W, seed):
+def make_dataset_cached(workspace, n_views, H, W, seed, scene="sphere"):
+    tag = "" if scene == "sphere" else f"_{scene}"
     path = os.path.join(workspace,
-                        f"dataset_{H}x{W}_{n_views}v_s{seed}.npz")
+                        f"dataset{tag}_{H}x{W}_{n_views}v_s{seed}.npz")
     focal = 0.9 * H
     intr = (focal, focal, W / 2.0, H / 2.0)
     if os.path.exists(path):
@@ -120,7 +122,8 @@ def make_dataset_cached(workspace, n_views, H, W, seed):
             poses=z["poses"], images=z["images"], intrinsics=intr, H=H, W=W)
     poses = synthetic.orbit_poses(n_views, seed=seed)
     t0 = time.time()
-    images = np.stack([render_gt_device(p, intr, H, W) for p in poses])
+    images = np.stack([render_gt_device(p, intr, H, W, scene=scene)
+                       for p in poses])
     assert np.isfinite(images).all(), "GT render produced non-finite pixels"
     print(f"[gt] {n_views} views {H}x{W} in {time.time()-t0:.1f}s")
     np.savez_compressed(path, poses=poses.astype(np.float32), images=images)
@@ -145,16 +148,18 @@ def main():
     ap.add_argument("--backbone", default="mlp")
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene", default="sphere",
+                    help="analytic scene (sphere | hard)")
     args = ap.parse_args()
 
     os.makedirs(args.workspace, exist_ok=True)
-    p = validate_device_gt()
+    p = validate_device_gt(args.scene)
     print(f"[gt] device-vs-numpy oracle: {p:.1f} dB (>55 required)")
 
     train_ds = make_dataset_cached(args.workspace, args.n_train, args.H,
-                                   args.W, seed=args.seed)
+                                   args.W, seed=args.seed, scene=args.scene)
     test_ds = make_dataset_cached(args.workspace, args.n_test, args.H,
-                                  args.W, seed=99)
+                                  args.W, seed=99, scene=args.scene)
 
     cfg = PieNeRFConfig(
         bound=1.0, dt_gamma=0.0, iters=args.iters, num_rays=args.num_rays,
@@ -203,6 +208,7 @@ def main():
         "n_train": args.n_train, "n_test": args.n_test,
         "backbone": args.backbone, "compute_dtype": args.compute_dtype,
         "num_rays": args.num_rays,
+        "scene": args.scene,
         "train_max_samples": args.train_max_samples,
         "curve": curve,
     }

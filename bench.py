@@ -76,7 +76,7 @@ def main() -> None:
         from pienerf_tpu.io import checkpoint as ckpt_io
         tree, _ = ckpt_io.load_native(ckpt)
         params = tree.get("ema_params", tree.get("params", tree))
-        field_src = "trained (runs/quality_mlp_800, 30k iters, 43.9 dB)"
+        field_src = "trained (runs/quality_mlp_800)"
         # adopt the checkpoint's arch (4-layer sigma net, n_freqs from
         # the input width) so pack_weights matches
         nf = (params["sigma_net"][0].shape[0] // 3 - 1) // 2
@@ -232,7 +232,13 @@ def main() -> None:
     oracle_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"runs/bench_oracle_{H}_K{ist.samples}_{n}ip.npz")
-    meta = f"{field_src}|seek3|5push"
+    # the cache key must pin the WEIGHTS, not just the checkpoint path —
+    # regenerating the quality run would otherwise silently pair new
+    # weights with the old oracle frame
+    leaves = jax.tree_util.tree_leaves(params)
+    whash = hex(abs(hash(tuple(
+        float(np.asarray(l).ravel()[0]) for l in leaves))) % (1 << 48))
+    meta = f"{field_src}|w{whash}|seek3|5push"
     if os.path.exists(oracle_path):
         z = np.load(oracle_path)
         assert str(z["meta"]) == meta, (
@@ -271,7 +277,8 @@ def main() -> None:
             "fused_vs_exact_bend_psnr": round(psnr, 2),
             "field": field_src,
             "operating_point": ("K=128 + tightened spans + reach-scaled "
-                                "bend windows (default)"),
+                                "bend windows + f32-HIGHEST candidate "
+                                "fetch (default)"),
         },
     }))
 

@@ -70,6 +70,14 @@ def render_frame_sharded(
     band_h = H // n_dev
     fx, fy, cx, cy = intrinsics
 
+    # active_frac is a whole-frame budget; a band that crosses the object
+    # concentrates hit tiles far above frame-average density, and a
+    # per-band cap of active_frac * band_tiles silently drops tiles
+    # (caught by the production-shape dryrun: 0.35 max err at 896x800 vs
+    # the single-device frame). Bands therefore run uncapped — a band has
+    # n_tiles/n_dev tiles, so the per-device prep cost stays bounded.
+    settings = settings._replace(active_frac=1.0)
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = P()
@@ -92,7 +100,11 @@ def render_frame_sharded(
             band_h // settings.tile, W // settings.tile,
             settings.tile, settings.tile, 3)
         img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(band_h, W, 3)
-        return img[None]                                      # [1, bh, W, 3]
+        drops = jnp.stack([
+            jnp.asarray(out["n_tile_overflow"], jnp.int32),
+            jnp.asarray(out["dropped_beam"], jnp.int32),
+            jnp.asarray(out["dropped_window"], jnp.int32)])
+        return img[None], drops[None]                        # [1, bh, W, 3]
 
     band_ids = jax.device_put(
         jnp.arange(n_dev, dtype=jnp.int32),
@@ -104,8 +116,12 @@ def render_frame_sharded(
         out_specs=P(axis),
         check_vma=False,
     )
-    bands = fn(band_ids)                                      # [n_dev, bh, W, 3]
-    return np.asarray(bands).reshape(H, W, 3)
+    bands, drops = fn(band_ids)                              # [n_dev, bh, W, 3]
+    img = np.asarray(bands).reshape(H, W, 3)
+    d = np.asarray(drops).sum(0)
+    counters = {"n_tile_overflow": int(d[0]), "dropped_beam": int(d[1]),
+                "dropped_window": int(d[2])}
+    return img, counters
 
 
 def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):

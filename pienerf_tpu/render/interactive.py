@@ -470,6 +470,7 @@ def render_frame_exact(
     bg_color: jax.Array,
     tile_chunk: int = 2,
     nn_radius: Optional[jax.Array] = None,
+    cut_bounds: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Ground-truth fidelity oracle: render_frame with EXACT bending.
 
@@ -489,7 +490,9 @@ def render_frame_exact(
     search cannot see).
     """
     st = settings
-    assert st.deformed and not st.cut, "oracle covers deformed non-cut mode"
+    assert st.deformed, "oracle covers deformed mode"
+    if st.cut:
+        assert cut_bounds is not None, "cut mode oracle needs cut_bounds"
     ts = st.tile
     n_tiles = (H // ts) * (W // ts)
     T2 = ts * ts
@@ -498,8 +501,14 @@ def render_frame_exact(
     a_cap = max(tile_chunk, (a_cap // tile_chunk) * tile_chunk)
 
     marg = 1e-3
-    bbmin = jnp.min(p_def, axis=0) - marg
-    bbmax = jnp.max(p_def, axis=0) + marg
+    if st.cut:
+        # cut mode marches the full scene box (outside cut_bounds renders
+        # the static scene) — same box as render_frame/_fused
+        bbmin = jnp.full((3,), -st.bound - marg, jnp.float32)
+        bbmax = jnp.full((3,), st.bound + marg, jnp.float32)
+    else:
+        bbmin = jnp.min(p_def, axis=0) - marg
+        bbmax = jnp.max(p_def, axis=0) + marg
 
     all_tids = jnp.arange(n_tiles, dtype=jnp.int32)
     o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
@@ -588,6 +597,15 @@ def render_frame_exact(
 
         found = found_f.reshape(C, T2, K)
         xm = tuple(x_rest[:, i].reshape(C, T2, K) for i in range(3))
+        if st.cut:
+            cb = cut_bounds
+            in_cut = (
+                (xs[0] > cb[0]) & (xs[0] < cb[1])
+                & (xs[1] > cb[2]) & (xs[1] < cb[3])
+                & (xs[2] > cb[4]) & (xs[2] < cb[5])
+            )
+            xm = tuple(jnp.where(in_cut, xm[i], xs[i]) for i in range(3))
+            found = jnp.where(in_cut, found, True)
 
         valid = found & (t[:, None, :] >= near[..., None]) \
             & (t[:, None, :] <= far[..., None]) & thit[..., None]

@@ -53,7 +53,8 @@ def test_sharded_frame_matches_single(max_iter_num):
     out = render(ist, pw, pack, p, pose, intr, H, W, jnp.float32(1.0))
     img_single = interactive.tiles_to_image(out["tiles_image"], H, W, 16)
 
-    img_sharded = sharding.render_frame_sharded(
+    img_sharded, drops = sharding.render_frame_sharded(
         mesh, ist, pw, pack, p, pose, intr, H, W, jnp.float32(1.0))
     assert img_sharded.shape == (H, W, 3)
+    assert drops["n_tile_overflow"] == 0
     np.testing.assert_allclose(img_sharded, img_single, atol=2e-3)

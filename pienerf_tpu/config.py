@@ -26,6 +26,9 @@ class PieNeRFConfig:
     # training
     iters: int = 30000
     lr: float = 1e-2
+    # TPU extra (default = reference behavior): final lr = lr * lr_decay_rate
+    # after `iters` steps (reference main_train.py:69-74 hardcodes 0.1).
+    lr_decay_rate: float = 0.1
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept for CLI parity; selects the occupancy-grid path

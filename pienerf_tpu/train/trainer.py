@@ -48,9 +48,15 @@ def _params_finite(tree) -> bool:
     return True
 
 
-def make_optimizer(lr: float, total_iters: int) -> optax.GradientTransformation:
+def make_optimizer(lr: float, total_iters: int,
+                   lr_decay_rate: float = 0.1) -> optax.GradientTransformation:
+    # Default decay matches the reference (main_train.py:69-74: exponential
+    # LambdaLR to 0.1x over `iters`). `lr_decay_rate` below 0.1 is a measured
+    # extra: at PSNR >= 46 dB the 1e-3 floor leaves Adam's parameter jitter
+    # visible as ~+-0.5 dB held-out eval noise; a deeper tail (e.g. 0.01)
+    # freezes the plateau (see PERF.md "Training quality at scale").
     sched = optax.exponential_decay(
-        init_value=lr, transition_steps=total_iters, decay_rate=0.1
+        init_value=lr, transition_steps=total_iters, decay_rate=lr_decay_rate
     )
     # apply_if_finite = the TPU translation of the reference's fp16
     # GradScaler step-skipping (reference nerf/trainer.py:84: scaler.step
@@ -324,7 +330,8 @@ class Trainer:
         # (_ensure_ema_decay); until then the per-step base applies.
         self._ema_base = 0.95
         self._ema_step_decay = self._ema_base
-        self.optimizer = make_optimizer(cfg.lr, cfg.iters)
+        self.optimizer = make_optimizer(
+            cfg.lr, cfg.iters, getattr(cfg, "lr_decay_rate", 0.1))
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),

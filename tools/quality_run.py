@@ -100,13 +100,22 @@ def render_gt_device(pose, intrinsics, H, W, n_steps=400, bound=1.0,
 
 
 def validate_device_gt(scene="sphere"):
-    """Device GT must match the numpy oracle before we trust it."""
+    """Device GT must match the numpy oracle before we trust it.
+
+    Gate: 55 dB for the smooth sphere. The hard scene lands at 53.98 dB —
+    measured to be pure f32-vs-f64 quadrature precision, not a device
+    transcription bug: jax-on-CPU in f32 scores the IDENTICAL 53.98 dB vs
+    the f64 numpy oracle (sharp=60 sigmoids at occlusion edges amplify
+    f32 rounding). Gate at 52 dB there; a transcription bug would land
+    tens of dB lower.
+    """
     intr = (0.9 * 64, 0.9 * 64, 32.0, 32.0)
     pose = synthetic.orbit_poses(1, seed=3)[0]
     ref = synthetic.render_gt(pose, intr, 64, 64, scene=scene)
     dev = render_gt_device(pose, intr, 64, 64, scene=scene)
     p = psnr_fn(dev, ref)
-    assert p > 55.0, f"device GT diverges from numpy oracle: {p:.2f} dB"
+    floor = 55.0 if scene == "sphere" else 52.0
+    assert p > floor, f"device GT diverges from numpy oracle: {p:.2f} dB"
     return p
 
 
@@ -150,11 +159,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scene", default="sphere",
                     help="analytic scene (sphere | hard)")
+    ap.add_argument("--lr_decay_rate", type=float, default=0.1,
+                    help="final-lr fraction (0.1 = reference schedule; "
+                    "0.01 freezes the high-PSNR plateau, see PERF.md)")
     args = ap.parse_args()
 
     os.makedirs(args.workspace, exist_ok=True)
     p = validate_device_gt(args.scene)
-    print(f"[gt] device-vs-numpy oracle: {p:.1f} dB (>55 required)")
+    print(f"[gt] device-vs-numpy oracle: {p:.1f} dB (gate: 55 sphere / "
+          f"52 hard — see validate_device_gt)")
 
     train_ds = make_dataset_cached(args.workspace, args.n_train, args.H,
                                    args.W, seed=args.seed, scene=args.scene)
@@ -165,7 +178,7 @@ def main():
         bound=1.0, dt_gamma=0.0, iters=args.iters, num_rays=args.num_rays,
         min_near=0.05, workspace=args.workspace, seed=args.seed,
         train_max_samples=args.train_max_samples, backbone=args.backbone,
-        compute_dtype=args.compute_dtype,
+        compute_dtype=args.compute_dtype, lr_decay_rate=args.lr_decay_rate,
     ).finalize()
     cfg.backbone = args.backbone
     cfg.compute_dtype = args.compute_dtype
@@ -209,6 +222,7 @@ def main():
         "backbone": args.backbone, "compute_dtype": args.compute_dtype,
         "num_rays": args.num_rays,
         "scene": args.scene,
+        "lr_decay_rate": args.lr_decay_rate,
         "train_max_samples": args.train_max_samples,
         "curve": curve,
     }

@@ -29,6 +29,10 @@ class PieNeRFConfig:
     # TPU extra (default = reference behavior): final lr = lr * lr_decay_rate
     # after `iters` steps (reference main_train.py:69-74 hardcodes 0.1).
     lr_decay_rate: float = 0.1
+    # TPU extra (default off): from this global step on, train in float32
+    # instead of cfg.compute_dtype. Counters coherent Adam drift at the
+    # bf16 output-quantization floor (PERF.md "Training quality at scale").
+    precision_tail_start: Optional[int] = None
     ckpt: str = "latest"
     num_rays: int = 4096
     cuda_ray: bool = False  # kept for CLI parity; selects the occupancy-grid path

@@ -414,13 +414,42 @@ class Trainer:
         if abs(eff - self._ema_step_decay) < 1e-12:
             return
         self._ema_step_decay = eff
+        self._rebuild_train_step()
+
+    def _rebuild_train_step(self) -> None:
         self._train_step = make_train_step(
             self.spec, self.settings, self.optimizer,
-            ema_decay=eff,
+            ema_decay=self._ema_step_decay,
             use_fast_path=self._use_fast_train,
             patch_size=self.cfg.patch_size,
             lpips_weights=self._lpips_weights)
         self._chunk_key = None
+
+    def set_compute_dtype(self, dtype: str) -> None:
+        """Switch the compute dtype mid-run (params/EMA/opt state are f32
+        master copies, so this only changes the traced forward). Used by
+        the precision-tail schedule below."""
+        if self.spec.compute_dtype == dtype:
+            return
+        self.spec = self.spec._replace(compute_dtype=dtype)
+        self._density_fn = self._make_density_fn()
+        self._rebuild_train_step()
+        self.log(f"[trainer] compute dtype -> {dtype} "
+                 f"at step {self.global_step}")
+
+    def _maybe_precision_tail(self) -> None:
+        """TPU extra (off by default): from cfg.precision_tail_start on,
+        train in float32. Measured motivation (PERF.md "bf16 output-
+        quantization floor"): once train loss reaches the bf16 rounding
+        floor (~2e-6 MSE on the sphere fixture), gradients are dominated
+        by autocorrelated quantization noise and Adam drifts COHERENTLY —
+        train loss rises and held-out PSNR declines several dB. Switching
+        the tail of the run to f32 drops the floor by ~100x for a 2-3x
+        per-step cost paid only on the tail fraction."""
+        ts = getattr(self.cfg, "precision_tail_start", None)
+        if (ts is not None and ts >= 0 and self.global_step >= ts
+                and self.spec.compute_dtype != "float32"):
+            self.set_compute_dtype("float32")
 
     def _get_train_chunk(self, H: int, W: int, intrinsics) -> Callable:
         key = (H, W, tuple(float(v) for v in intrinsics),
@@ -504,10 +533,15 @@ class Trainer:
         snapshot = (jax.tree_util.tree_map(np.asarray, self.state)
                     if first_chunk else None)
         while done < n_iters:
+            self._maybe_precision_tail()
+            chunk_fn = self._get_train_chunk(H, W, dataset.intrinsics)
             if (not self._use_fast_train
                     and self.global_step % self.cfg.update_extra_interval == 0):
                 self.update_extra_state()
             n = min(sub, n_iters - done)
+            ts = getattr(self.cfg, "precision_tail_start", None)
+            if ts is not None and ts >= 0 and self.global_step < ts:
+                n = min(n, ts - self.global_step)
             if not self._use_fast_train:
                 n = min(n, self.cfg.update_extra_interval
                         - self.global_step % self.cfg.update_extra_interval)
@@ -570,6 +604,7 @@ class Trainer:
             self.error_map = jnp.ones((B, 128 * 128), jnp.float32)
 
         for _ in range(n_iters):
+            self._maybe_precision_tail()
             if (not self._use_fast_train
                     and self.global_step % self.cfg.update_extra_interval == 0):
                 self.update_extra_state()

@@ -43,6 +43,7 @@ _FAST_EXCLUDE = {
     "test_viewer.py::test_sim_viewer_http_roundtrip",
     "test_cut_mode.py::test_cut_mode_rest_pose_consistent",
     "test_trainer_features.py::test_ema_decay_matches_reference_epoch_cadence",
+    "test_trainer_features.py::test_precision_tail_switches_to_f32",
     "test_trainer_features.py::test_checkpoint_guards_refuse_non_finite_state",
     "test_trained_golden.py::test_trained_field_golden",
     "test_wide_student.py::test_wide_student_checkpoint_arch_adoption",

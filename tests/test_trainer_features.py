@@ -186,3 +186,26 @@ def test_checkpoint_guards_refuse_non_finite_state(tmp_path, small_scene):
         lambda x: x * jnp.nan, t2.state.params))
     with pytest.raises(RuntimeError, match="non-finite BEFORE"):
         t2.train_iterations(small_scene, 4)
+
+
+def test_precision_tail_switches_to_f32(tmp_path, small_scene):
+    """cfg.precision_tail_start flips the compute dtype to float32 at the
+    configured step (TPU extra: counters coherent Adam drift at the bf16
+    output-quantization floor — PERF.md "Training quality at scale"). The
+    switch must happen exactly at the boundary, keep training finite, and
+    leave f32 master params untouched in dtype."""
+    import jax
+
+    cfg = _cfg(tmp_path / "ws_tail", backbone="mlp",
+               compute_dtype="bfloat16", precision_tail_start=8)
+    t = Trainer("ngp", cfg, use_checkpoint="scratch", seed=0)
+    assert t.spec.compute_dtype == "bfloat16"
+    t.train_iterations(small_scene, 6)          # 6 < 8: still bf16
+    assert t.spec.compute_dtype == "bfloat16"
+    t.train_iterations(small_scene, 6)          # crosses 8 mid-call
+    assert t.spec.compute_dtype == "float32"
+    assert t.global_step == 12
+    for leaf in jax.tree_util.tree_leaves(t.state.params):
+        assert leaf.dtype == np.float32
+    loss = t.train_iterations(small_scene, 2)
+    assert np.isfinite(loss)

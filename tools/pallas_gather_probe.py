@@ -86,6 +86,97 @@ def onehot_fetch(table, idx, chunk=2048):
     )(idx.reshape(B // Bb, Bb), table)
 
 
+# --- D: per-row async DMA from an HBM-resident table ------------------------
+# (round-3 review asked for the "HBM with double-buffered DMA" arm by name.)
+
+def dma_fetch(table, idx, depth=8):
+    """out[b] = table[idx[b]] via row DMAs HBM->VMEM, `depth` in flight.
+
+    This is the mechanism a persistent-table kernel would use when the
+    table exceeds VMEM (the 2^19-row hashgrid levels): dynamic-address
+    row copies issued ahead of consumption. The per-descriptor cost is
+    the quantity being measured."""
+    T, Wd = table.shape
+    B = idx.shape[0]
+    Bb = 512
+
+    def kernel(idx_ref, tab_hbm, out_ref):
+        def body(scratch, sems):
+            def get_dma(slot, b):
+                return pltpu.make_async_copy(
+                    tab_hbm.at[pl.ds(idx_ref[0, b].astype(jnp.int32), 1), :],
+                    scratch.at[pl.ds(slot, 1), :],
+                    sems.at[slot])
+
+            # warm-up: fill the pipeline
+            for s in range(depth):
+                get_dma(s, s).start()
+
+            def loop(b, _):
+                slot = jax.lax.rem(b, depth)
+                get_dma(slot, b).wait()
+                out_ref[pl.ds(b, 1), :] = scratch[pl.ds(slot, 1), :]
+
+                nb = b + depth
+
+                @pl.when(nb < Bb)
+                def _():
+                    get_dma(slot, nb).start()
+
+                return 0
+
+            jax.lax.fori_loop(0, Bb, loop, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((depth, Wd), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((depth,)),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((1, Bb), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((Bb, Wd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Wd), jnp.float32),
+    )(idx.reshape(B // Bb, Bb), table)
+
+
+# --- E: Mosaic-native take() on a VMEM-resident table ------------------------
+
+def vmem_take_fetch(table, idx):
+    """out[b] = table[idx[b]] via jnp.take INSIDE the kernel — probes
+    whether Mosaic lowers a vector gather on a VMEM table to something
+    better than the serial pl.ds loop (it has a dynamic-gather path for
+    small tables on newer toolchains)."""
+    T, Wd = table.shape
+    B = idx.shape[0]
+    Bb = 2048
+
+    def kernel(idx_ref, tab_ref, out_ref):
+        iv = idx_ref[0, :].astype(jnp.int32)
+        out_ref[:, :] = jnp.take(tab_ref[:, :], iv, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((1, Bb), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, Wd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, Wd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Wd), jnp.float32),
+    )(idx.reshape(B // Bb, Bb), table)
+
+
 # --- B: serial pl.ds dynamic-slice fetch -----------------------------------
 
 def dynslice_fetch(table, idx):
@@ -149,6 +240,24 @@ def main():
         res[f"C_xla_take_T{T}"] = {
             "rows_per_s": round(B / dt / 1e9, 4),
             "ms_per_call": round(dt * 1e3, 3)}
+
+        fd = jax.jit(dma_fetch)
+        try:
+            dt, _ = time_it(fd, table, idx, reps=2)
+            res[f"D_dma_T{T}"] = {
+                "rows_per_s": round(B / dt / 1e9, 5),
+                "ms_per_call": round(dt * 1e3, 3)}
+        except Exception as e:
+            res[f"D_dma_T{T}"] = {"error": str(e)[:300]}
+
+        fe = jax.jit(vmem_take_fetch)
+        try:
+            dt, _ = time_it(fe, table, idx)
+            res[f"E_vmem_take_T{T}"] = {
+                "rows_per_s": round(B / dt / 1e9, 4),
+                "ms_per_call": round(dt * 1e3, 3)}
+        except Exception as e:
+            res[f"E_vmem_take_T{T}"] = {"error": str(e)[:300]}
 
     # price the hashgrid hybrid: levels 0..L-1 have min(res_l^3, 2^19)
     # rows; one-hot cost per fetch ~ rows * 128 MAC. Assume measured MXU

@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--lr_decay_rate", type=float, default=0.1,
                     help="final-lr fraction (0.1 = reference schedule; "
                     "0.01 freezes the high-PSNR plateau, see PERF.md)")
+    ap.add_argument("--precision_tail_start", type=int, default=None,
+                    help="global step from which training switches to "
+                    "float32 (counters bf16-floor Adam drift, PERF.md)")
     args = ap.parse_args()
 
     os.makedirs(args.workspace, exist_ok=True)
@@ -179,6 +182,7 @@ def main():
         min_near=0.05, workspace=args.workspace, seed=args.seed,
         train_max_samples=args.train_max_samples, backbone=args.backbone,
         compute_dtype=args.compute_dtype, lr_decay_rate=args.lr_decay_rate,
+        precision_tail_start=args.precision_tail_start,
     ).finalize()
     cfg.backbone = args.backbone
     cfg.compute_dtype = args.compute_dtype
@@ -223,6 +227,7 @@ def main():
         "num_rays": args.num_rays,
         "scene": args.scene,
         "lr_decay_rate": args.lr_decay_rate,
+        "precision_tail_start": args.precision_tail_start,
         "train_max_samples": args.train_max_samples,
         "curve": curve,
     }

@@ -44,7 +44,8 @@ from pienerf_tpu.train import distill
 
 
 def fit_hashgrid_teacher(steps: int = 2000, batch: int = 8192,
-                         lr: float = 1e-2, bound: float = 1.0, seed: int = 0):
+                         lr: float = 1e-2, bound: float = 1.0, seed: int = 0,
+                         scene: str = "sphere"):
     """Field-space fit of the reference hashgrid architecture to the
     analytic scene (sigma + direction-independent albedo)."""
     spec = network.make_spec(bound=bound, backbone="hashgrid")
@@ -76,12 +77,21 @@ def fit_hashgrid_teacher(steps: int = 2000, batch: int = 8192,
                                 maxval=bound)
         sh = jax.random.normal(k2, (batch - batch // 2, 3))
         sh = sh / jnp.linalg.norm(sh, axis=1, keepdims=True)
-        rad = 0.5 + 0.1 * jax.random.normal(k3, (batch - batch // 2, 1))
-        x = jnp.concatenate([xu, sh * rad], axis=0)
+        if scene == "sphere":
+            rad = 0.5 + 0.1 * jax.random.normal(k3, (batch - batch // 2, 1))
+            xs = sh * rad
+        else:
+            # concentrate near the scene's occupied lattice (the hard
+            # scene's lobes are off-center; a sphere shell misses them)
+            occ = _occ_pts(scene)
+            pick = jax.random.randint(k3, (batch - batch // 2,), 0,
+                                      occ.shape[0])
+            xs = jnp.asarray(occ)[pick] + 0.05 * sh
+        x = jnp.concatenate([xu, xs], axis=0)
         d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (batch, 1))
-        sig_gt = jnp.asarray(synthetic.sphere_sigma(np.asarray(x)))
-        rgb_gt = jnp.asarray(synthetic.sphere_rgb(np.asarray(x)),
-                             jnp.float32)
+        sig_np, rgb_np = synthetic.scene_field(scene, np.asarray(x))
+        sig_gt = jnp.asarray(sig_np)
+        rgb_gt = jnp.asarray(rgb_np, jnp.float32)
         params, opt_state, loss = step(params, opt_state, x, d, sig_gt,
                                        rgb_gt)
         if (i + 1) % 500 == 0:
@@ -90,7 +100,16 @@ def fit_hashgrid_teacher(steps: int = 2000, batch: int = 8192,
     return params, spec
 
 
-def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=128, reps=8):
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _occ_pts(scene: str):
+    return synthetic.scene_points(scene, dx=0.04).astype(np.float32)
+
+
+def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=128, reps=8,
+                    scene="sphere"):
     """Deformed fused-frame rate at an identity-deformation IP cloud of
     the sphere (3-seek bend; the bench render protocol minus sim)."""
     from pienerf_tpu.ops import beam_bend
@@ -98,10 +117,7 @@ def fused_frame_fps(s_params, s_spec, H=800, W=800, samples=128, reps=8):
     from pienerf_tpu.render import interactive
 
     dx = 0.05
-    c = np.arange(-0.5, 0.501, dx, dtype=np.float32)
-    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
-    p = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], 1)
-    p = p[np.linalg.norm(p, axis=1) <= 0.52]
+    p = synthetic.scene_points(scene, dx=dx).astype(np.float32)
     n = p.shape[0]
     F = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
     dF = np.zeros((n, 3, 3, 3), np.float32)
@@ -140,18 +156,23 @@ def main():
     ap.add_argument("--H", type=int, default=256)
     ap.add_argument("--n_poses", type=int, default=8)
     ap.add_argument("--fps_reps", type=int, default=8)
+    ap.add_argument("--scene", default="sphere")
     args = ap.parse_args()
+    if args.scene != "sphere" and args.out == "runs/distill_table.json":
+        args.out = f"runs/distill_table_{args.scene}.json"
 
     # cache the fitted teacher: reruns of the table (or of downstream
     # tools) should not pay the multi-minute fit again
     from pienerf_tpu.io import checkpoint as ckpt_io
-    cache = f"runs/distill_teacher_s{args.teacher_steps}.npz"
+    tag = "" if args.scene == "sphere" else f"_{args.scene}"
+    cache = f"runs/distill_teacher{tag}_s{args.teacher_steps}.npz"
     if os.path.exists(cache):
         print(f"[teacher] cached: {cache}", flush=True)
         t_params, _ = ckpt_io.load_native(cache)
         t_spec = network.make_spec(bound=1.0, backbone="hashgrid")
     else:
-        t_params, t_spec = fit_hashgrid_teacher(steps=args.teacher_steps)
+        t_params, t_spec = fit_hashgrid_teacher(steps=args.teacher_steps,
+                                                scene=args.scene)
         os.makedirs("runs", exist_ok=True)
         ckpt_io.save_native(cache, jax.tree_util.tree_map(np.asarray,
                                                           t_params))
@@ -172,7 +193,8 @@ def main():
         fa = distill.field_agreement(t_params, t_spec, s_params, s_spec)
         ia = distill.image_agreement(t_params, t_spec, s_params, s_spec,
                                      poses, intr, H, W)
-        fps = fused_frame_fps(s_params, s_spec, reps=args.fps_reps)
+        fps = fused_frame_fps(s_params, s_spec, reps=args.fps_reps,
+                              scene=args.scene)
         rows.append({
             "width": width, "distill_seconds": wall,
             "final_loss": float(loss), "field": fa,
@@ -184,7 +206,8 @@ def main():
               f"ssim={ia['ssim_mean']:.4f} fps={fps:.1f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    json.dump({"teacher_steps": args.teacher_steps,
+    json.dump({"scene": args.scene,
+               "teacher_steps": args.teacher_steps,
                "distill_steps": args.distill_steps,
                "H": H, "rows": rows}, open(args.out, "w"), indent=1)
     print("| student width | image PSNR vs teacher | SSIM | FPS @800x800 |")

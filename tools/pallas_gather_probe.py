@@ -31,16 +31,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def time_it(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    s = float(jnp.sum(out))        # force through the tunnel
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = fn(*args)
-        s += float(jnp.sum(out))   # distinct fetch per rep via sum chain
-    dt = (time.perf_counter() - t0) / reps
-    return dt, s
+def time_it(fetch, table, idx, reps=5):
+    """Per-call time of `fetch(table, idx)` with DEVICE-side rep loops:
+    the tunnel's host fetch costs ~30 ms flat, so reps run inside one jit
+    (index perturbed per rep against memoization/DCE), R is auto-scaled to
+    ~0.5 s of device work, and the flat dispatch+fetch constant is removed
+    by differencing median R-rep and 1-rep timings."""
+    del reps
+    T = table.shape[0]
+
+    def looped(R):
+        @jax.jit
+        def f(tab, ix, base):
+            def body(i, s):
+                out = fetch(tab, (ix + base + i) % T)
+                return s + jnp.sum(out)
+            return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+        return f
+
+    def timed(f, base):
+        t0 = time.perf_counter()
+        s = float(f(table, idx, base))
+        return time.perf_counter() - t0, s
+
+    f1 = looped(1)
+    _, s = timed(f1, 0)                        # warm / compile
+    f8 = looped(8)
+    timed(f8, 1)                               # warm / compile
+    dt8, _ = timed(f8, 2)
+    R = int(min(2048, max(16, 0.5 / max(dt8 / 8, 1e-6))))
+    fR = looped(R)
+    timed(fR, 3)                               # warm / compile
+    t1s, tRs = [], []
+    for k in (4, 5, 6):
+        tRs.append(timed(fR, k)[0])
+        t1s.append(timed(f1, k)[0])
+    dt = (sorted(tRs)[1] - sorted(t1s)[1]) / (R - 1)
+    return max(dt, 1e-9), s
 
 
 # --- A: one-hot MXU fetch, table resident in VMEM --------------------------
@@ -55,17 +82,18 @@ def onehot_fetch(table, idx, chunk=2048):
     B = idx.shape[0]
 
     def kernel(idx_ref, tab_ref, out_ref):
-        acc = jnp.zeros((out_ref.shape[0], Wd), jnp.float32)
-        iv = idx_ref[0, :].astype(jnp.int32)                 # [Bb]
-        Bb = iv.shape[0]
-        iv2 = jax.lax.broadcast_in_dim(iv, (Bb, 1), (0,))
+        Bb = out_ref.shape[0]
+        acc = jnp.zeros((Bb, Wd), jnp.float32)
+        g = pl.program_id(0)
+        row = idx_ref[pl.ds(g, 1), :].astype(jnp.int32)      # [1, Bb]
         for c0 in range(0, T, chunk):
+            # transpose-free one-hot: build [chunk, Bb] and contract dim 0
             rows = jax.lax.broadcasted_iota(
-                jnp.int32, (Bb, chunk), 1) + c0
-            oh = (rows == iv2).astype(jnp.float32)           # [Bb, chunk]
+                jnp.int32, (chunk, Bb), 0) + c0
+            oh_t = (rows == row).astype(jnp.float32)         # [chunk, Bb]
             acc += jax.lax.dot_general(
-                oh, tab_ref[pl.ds(c0, chunk), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                oh_t, tab_ref[pl.ds(c0, chunk), :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
         out_ref[:, :] = acc
@@ -75,8 +103,7 @@ def onehot_fetch(table, idx, chunk=2048):
         kernel,
         grid=(B // Bb,),
         in_specs=[
-            pl.BlockSpec((1, Bb), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full idx array
             pl.BlockSpec((T, Wd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -104,7 +131,8 @@ def dma_fetch(table, idx, depth=8):
         def body(scratch, sems):
             def get_dma(slot, b):
                 return pltpu.make_async_copy(
-                    tab_hbm.at[pl.ds(idx_ref[0, b].astype(jnp.int32), 1), :],
+                    tab_hbm.at[pl.ds(
+                        idx_ref[pl.program_id(0), b].astype(jnp.int32), 1), :],
                     scratch.at[pl.ds(slot, 1), :],
                     sems.at[slot])
 
@@ -137,8 +165,7 @@ def dma_fetch(table, idx, depth=8):
         kernel,
         grid=(B // Bb,),
         in_specs=[
-            pl.BlockSpec((1, Bb), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # full idx array
             pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
         ],
         out_specs=pl.BlockSpec((Bb, Wd), lambda i: (i, 0),
@@ -159,15 +186,15 @@ def vmem_take_fetch(table, idx):
     Bb = 2048
 
     def kernel(idx_ref, tab_ref, out_ref):
-        iv = idx_ref[0, :].astype(jnp.int32)
-        out_ref[:, :] = jnp.take(tab_ref[:, :], iv, axis=0)
+        iv = idx_ref[pl.ds(pl.program_id(0), 1), :].astype(jnp.int32)
+        ivb = jax.lax.broadcast_in_dim(iv.reshape(Bb), (Bb, Wd), (0,))
+        out_ref[:, :] = jnp.take_along_axis(tab_ref[:, :], ivb, axis=0)
 
     return pl.pallas_call(
         kernel,
         grid=(B // Bb,),
         in_specs=[
-            pl.BlockSpec((1, Bb), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full idx array
             pl.BlockSpec((T, Wd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -188,7 +215,7 @@ def dynslice_fetch(table, idx):
 
         def body(b, _):
             out_ref[pl.ds(b, 1), :] = tab_ref[
-                pl.ds(idx_ref[0, b].astype(jnp.int32), 1), :]
+                pl.ds(idx_ref[pl.program_id(0), b].astype(jnp.int32), 1), :]
             return 0
 
         jax.lax.fori_loop(0, Bb, body, 0)
@@ -198,8 +225,7 @@ def dynslice_fetch(table, idx):
         kernel,
         grid=(B // Bb,),
         in_specs=[
-            pl.BlockSpec((1, Bb), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # full idx array
             pl.BlockSpec((T, Wd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -214,50 +240,30 @@ def main():
     key = jax.random.PRNGKey(0)
     B = 1 << 16                                   # fetches per call
 
-    for T in (1 << 11, 1 << 13, 1 << 15):
+    def arm(name, fn, *args, reps=5):
+        try:
+            dt, _ = time_it(fn, *args, reps=reps)
+            res[name] = {"rows_per_s": round(B / dt / 1e9, 5),
+                         "ms_per_call": round(dt * 1e3, 3)}
+        except Exception as e:  # Mosaic may reject; that IS the result
+            res[name] = {"error": str(e)[:300]}
+        print(name, res[name], flush=True)
+
+    for T in (1 << 11, 1 << 13, 1 << 19):
         Wd = 128                                  # padded row (2 f32 used)
         table = jax.random.normal(key, (T, Wd), jnp.float32)
         idx = jax.random.randint(key, (B,), 0, T, jnp.int32)
 
-        fa = jax.jit(functools.partial(onehot_fetch, chunk=min(T, 2048)))
-        dt, _ = time_it(fa, table, idx)
-        res[f"A_onehot_T{T}"] = {
-            "rows_per_s": round(B / dt / 1e9, 4),
-            "unit": "G rows/s", "ms_per_call": round(dt * 1e3, 3)}
+        if T * Wd * 4 <= (8 << 20):   # VMEM-resident arms (16M scoped cap)
+            arm(f"A_onehot_T{T}",
+                functools.partial(onehot_fetch, chunk=min(T, 2048)),
+                table, idx)
+            arm(f"B_dynslice_T{T}", dynslice_fetch, table, idx, reps=2)
+            arm(f"E_vmem_take_T{T}", vmem_take_fetch, table, idx)
 
-        if T <= (1 << 13):
-            fb = jax.jit(dynslice_fetch)
-            try:
-                dt, _ = time_it(fb, table, idx, reps=2)
-                res[f"B_dynslice_T{T}"] = {
-                    "rows_per_s": round(B / dt / 1e9, 5),
-                    "ms_per_call": round(dt * 1e3, 3)}
-            except Exception as e:  # Mosaic may reject; that IS the result
-                res[f"B_dynslice_T{T}"] = {"error": str(e)[:300]}
-
-        fc = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
-        dt, _ = time_it(fc, table, idx)
-        res[f"C_xla_take_T{T}"] = {
-            "rows_per_s": round(B / dt / 1e9, 4),
-            "ms_per_call": round(dt * 1e3, 3)}
-
-        fd = jax.jit(dma_fetch)
-        try:
-            dt, _ = time_it(fd, table, idx, reps=2)
-            res[f"D_dma_T{T}"] = {
-                "rows_per_s": round(B / dt / 1e9, 5),
-                "ms_per_call": round(dt * 1e3, 3)}
-        except Exception as e:
-            res[f"D_dma_T{T}"] = {"error": str(e)[:300]}
-
-        fe = jax.jit(vmem_take_fetch)
-        try:
-            dt, _ = time_it(fe, table, idx)
-            res[f"E_vmem_take_T{T}"] = {
-                "rows_per_s": round(B / dt / 1e9, 4),
-                "ms_per_call": round(dt * 1e3, 3)}
-        except Exception as e:
-            res[f"E_vmem_take_T{T}"] = {"error": str(e)[:300]}
+        arm(f"C_xla_take_T{T}", lambda t, i: jnp.take(t, i, axis=0),
+            table, idx)
+        arm(f"D_dma_T{T}", dma_fetch, table, idx, reps=2)
 
     # price the hashgrid hybrid: levels 0..L-1 have min(res_l^3, 2^19)
     # rows; one-hot cost per fetch ~ rows * 128 MAC. Assume measured MXU

@@ -127,17 +127,18 @@ def render_frame_sharded(
 def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):
     """Shard the simulator across the mesh by integration points.
 
-    The per-step cost is HBM-bandwidth on the dense F-assembly operator
-    ``B`` [3*nIP, 10K] (PERF.md "Sim scaling": 236 MB at 24k IPs, ~6 ms on
-    one chip). Sharding B's rows over the mesh splits that bandwidth
-    n_devices-ways: the forward product B @ ddof is row-local, the
-    transpose contraction B^T @ dP reduces over the sharded rows — GSPMD
-    inserts ONE psum of the small [10K, 3] result over ICI. The kernel-node
-    arrays (dof state, global inverse) are small and replicate.
+    The per-step cost is the chunked F-assembly operator ``Dc`` [C, S, 3,
+    80] (see SimConstants.Dc) — per-IP blocks batched over chunks.
+    Sharding the chunk axis over the mesh splits that work n_devices-ways:
+    the forward block matmul is chunk-local, and the transpose
+    contraction's node segment-sum reduces over the sharded chunks — GSPMD
+    inserts ONE psum of the small [10K, 3] result over ICI. The
+    kernel-node arrays (dof state, global inverse) are small and
+    replicate.
 
     Returns (consts_sharded, step) where step(consts_sharded, state) is the
     jitted sharded sim_step; state stays replicated so the renderer and
-    force application are unchanged. consts_sharded pads the IP axis of
+    force application are unchanged. consts_sharded pads the chunk axis of
     the step's operands to the mesh size — use it ONLY with `step`; keep
     the original consts for get_ip_info / update_force / rendering.
     """
@@ -147,27 +148,26 @@ def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):
     rows = NamedSharding(mesh, P(axis))
     n_dev = mesh.devices.size
 
-    # pad the IP dimension to a multiple of the mesh so B's rows split
-    # evenly. Padded IPs have mu = lam = 0, so their dP contribution is
-    # exactly zero in both the forward product and the transpose
-    # contraction; the only deviation from the single-device trajectory is
-    # f32 reduction order across the psum (~1e-5 relative per step).
-    n_ip = consts.ip_pos.shape[0]
-    n_pad = -(-n_ip // n_dev) * n_dev
-    if n_pad != n_ip:
-        pad = n_pad - n_ip
-        dim = consts.B.shape[1]
-        b3 = consts.B.reshape(3, n_ip, dim)
-        b3 = jnp.pad(b3, ((0, 0), (0, pad), (0, 0)))
+    # pad the chunk dimension to a multiple of the mesh so it splits
+    # evenly. Padded chunks have Dc = 0 and mu = lam = 0, so their
+    # contribution is exactly zero in both directions (they scatter zeros
+    # into node 0); the only deviation from the single-device trajectory
+    # is f32 reduction order across the psum (~1e-5 relative per step).
+    C = consts.Dc.shape[0]
+    C_pad = -(-C // n_dev) * n_dev
+    if C_pad != C:
+        pad = C_pad - C
         consts = consts._replace(
-            B=b3.reshape(3 * n_pad, dim),
-            ip_pos=jnp.pad(consts.ip_pos, ((0, pad), (0, 0))),
-            IP_mu=jnp.pad(consts.IP_mu, (0, pad)),
-            IP_lam=jnp.pad(consts.IP_lam, (0, pad)),
+            Dc=jnp.pad(consts.Dc, ((0, pad), (0, 0), (0, 0), (0, 0))),
+            chunk_nodes=jnp.pad(consts.chunk_nodes, ((0, pad), (0, 0))),
+            chunk_mu=jnp.pad(consts.chunk_mu, ((0, pad), (0, 0))),
+            chunk_lam=jnp.pad(consts.chunk_lam, ((0, pad), (0, 0))),
         )
 
+    _chunked = {"Dc", "chunk_nodes", "chunk_mu", "chunk_lam"}
+
     def spec_for(name):
-        return rows if name == "B" else repl
+        return rows if name in _chunked else repl
 
     consts_shardings = type(consts)(
         **{f: spec_for(f) for f in consts._fields})

@@ -55,14 +55,21 @@ class SimConstants(NamedTuple):
     """Immutable per-scene data produced by sim_init (device arrays)."""
     global_inv: jax.Array      # [10K, 10K] masked regularized inverse
     mass_invt2: jax.Array      # [10K, 10K] mass matrix / dt^2 (scalar form)
-    B: jax.Array               # [3*nIP, 10K] dense F-assembly operator:
-    #   B[j*nIP + v, k*10 + a] = sum_i dNx[v,i,j,a] [IP_kernel[v,i] == k].
-    #   F_delta[v,d,j] = (B @ ddof2)[j*nIP+v, d]; the elastic rhs is the
-    #   transpose contraction of the same operator. Replaces the per-
-    #   iteration gather + einsum + segment_sum (measured 3.5 ms/iter of
-    #   padded-layout HBM traffic) with two MXU matmuls reading 2x30 MB.
-    #   O(nIP * 30 * n_k) floats — fine through ~10k IPs; a Pallas
-    #   scatter kernel is the planned path beyond that.
+    # Cell-chunked block-sparse F-assembly operator (round 4; replaces the
+    # dense B [3*nIP, 10K] whose rows were 97%+ structural zeros — 2 GB and
+    # pure HBM-bandwidth at 50k IPs). Every IP in a kernel cell shares the
+    # SAME 8 kernel nodes (ip_kernel is a function of ip2k alone), so IPs
+    # sorted by cell and split into <=S-row chunks give exact dense blocks:
+    #   F_delta[chunk k] = Dc[k] @ ddof[chunk_nodes[k]]   (batched MXU)
+    #   rhs += Dc[k]^T @ dP[chunk k]                       (batched MXU +
+    #                                                       segment_sum)
+    # Storage is nIP*240 floats + one partial chunk per cell — 55 MB at
+    # 50k IPs vs 2 GB dense; per-iteration HBM traffic drops ~40x.
+    Dc: jax.Array              # [C, S, 3, 80] per-chunk dNx blocks,
+    #   Dc[k, s, j, i*10+a] = IP_dNx[ip(k,s), i, j, a]; zero rows pad
+    chunk_nodes: jax.Array     # [C, 8] int32 kernel-node ids per chunk
+    chunk_mu: jax.Array        # [C, S] mu per chunk row (0 at padding)
+    chunk_lam: jax.Array       # [C, S] lam per chunk row (0 at padding)
     rhs_gravity: jax.Array     # [K, 10, 3]
     dof_rest: jax.Array        # [K, 10, 3]
     ip_pos: jax.Array          # [nIP, 3] rest IP positions
@@ -294,14 +301,30 @@ def sim_init(
     rhs_gravity = np.zeros((n_k, 10, 3))
     np.add.at(rhs_gravity, ip_kernel.reshape(-1), grav_contrib.reshape(-1, 10, 3))
 
-    # --- dense F-assembly operator (see SimConstants.B)
-    Bop = np.zeros((3 * n_ip, dim))
-    cols = (ip_kernel[:, :, None] * 10
-            + np.arange(10)[None, None, :]).reshape(n_ip, 80)
-    vrows = np.repeat(np.arange(n_ip)[:, None], 80, axis=1)
-    for j in range(3):
-        np.add.at(Bop, (j * n_ip + vrows, cols),
-                  IP_dNx[:, :, j, :].reshape(n_ip, 80))
+    # --- cell-chunked F-assembly operator (see SimConstants.Dc)
+    cell_id = (ip2k[:, 0] * (kres - 1) + ip2k[:, 1]) * (kres - 1) + ip2k[:, 2]
+    order = np.argsort(cell_id, kind="stable")
+    _, cell_counts = np.unique(cell_id, return_counts=True)
+    S = int(min(128, max(8, -(-int(cell_counts.max()) // 8) * 8)))
+    chunk_rows = []                 # list of [<=S] IP-index arrays
+    lo = 0
+    for c in cell_counts:
+        members = order[lo:lo + c]
+        lo += c
+        for s0 in range(0, c, S):
+            chunk_rows.append(members[s0:s0 + S])
+    C = len(chunk_rows)
+    Dc = np.zeros((C, S, 3, 80))
+    chunk_nodes = np.zeros((C, 8), np.int32)
+    chunk_mu = np.zeros((C, S))
+    chunk_lam = np.zeros((C, S))
+    for k, v in enumerate(chunk_rows):
+        n = len(v)
+        chunk_nodes[k] = ip_kernel[v[0]]        # shared across the cell
+        # [n, 8, 3, 10] -> [n, 3, 8, 10] -> [n, 3, 80]; flat col = i*10+a
+        Dc[k, :n] = IP_dNx[v].transpose(0, 2, 1, 3).reshape(n, 3, 80)
+        chunk_mu[k, :n] = IP_mu[v]
+        chunk_lam[k, :n] = IP_lam[v]
 
     # rest positions reconstructed through the shape functions (float64) so
     # that p_def = pts_rest + sum(Nx * ddof) is exact at rest
@@ -312,7 +335,10 @@ def sim_init(
     consts = SimConstants(
         global_inv=jnp.asarray(global_inv, dtype),
         mass_invt2=jnp.asarray(mass_invt2, dtype),
-        B=jnp.asarray(Bop, dtype),
+        Dc=jnp.asarray(Dc, dtype),
+        chunk_nodes=jnp.asarray(chunk_nodes),
+        chunk_mu=jnp.asarray(chunk_mu, dtype),
+        chunk_lam=jnp.asarray(chunk_lam, dtype),
         rhs_gravity=jnp.asarray(rhs_gravity, dtype),
         dof_rest=jnp.asarray(dof_rest, dtype),
         ip_pos=jnp.asarray(ip_rest, dtype),
@@ -343,7 +369,7 @@ def sim_init(
     return consts, state, aux
 
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2    # v2: chunked Dc operator replaced the dense B
 
 
 def _sim_cache_key(pos, mass, mu, lam, is_pin, kw) -> str:
@@ -414,10 +440,12 @@ def sim_init_cached(pos, mass, mu, lam, is_pin, cache_dir: str,
 
 
 def cast_B_bf16(consts: SimConstants) -> SimConstants:
-    """Opt-in bf16 storage of the B assembly operator: halves its HBM
-    traffic (the >25k-IP step bottleneck); see rhs_elastic_delta for the
-    accuracy argument and tests/test_solver.py for the trajectory check."""
-    return consts._replace(B=consts.B.astype(jnp.bfloat16))
+    """Opt-in bf16 storage of the chunked assembly operator: halves its
+    HBM traffic; see rhs_elastic_delta for the accuracy argument and
+    tests/test_solver.py for the trajectory check. (With the chunked
+    operator the traffic is ~40x smaller to begin with, so this is now a
+    memory knob more than a speed knob.)"""
+    return consts._replace(Dc=consts.Dc.astype(jnp.bfloat16))
 
 
 # ---------------------------------------------------------------------------
@@ -451,56 +479,66 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     dNx. Exactly zero at rest (cuda_utils.py:83-151, delta form — see module
     doc).
 
-    TPU structure: F_delta and the rhs are the SAME fixed sparse operator B
-    applied forward/transposed (two MXU matmuls); the polar factors come
-    from the componentwise Jacobi SVD (svd3.corotated_delta). Round-1's
-    gather + einsum + segment_sum version of this function cost 3.5 ms/iter
-    in padded-layout HBM traffic; this is ~0.5 ms.
+    TPU structure (round 4): F_delta and the rhs are the SAME cell-chunked
+    block operator applied forward/transposed — two batched MXU matmuls
+    over [C, 3S, 80] blocks plus a tiny node gather/segment-sum (C*8 rows;
+    see SimConstants.Dc). The polar factors come from the componentwise
+    Jacobi SVD (svd3.corotated_delta). History: round-1's per-IP gather +
+    einsum + segment_sum cost 3.5 ms/iter of padded-layout HBM traffic;
+    round-2's dense B fixed that but scaled as nIP * n_k * 30 floats of
+    pure bandwidth (2 GB, ~25 ms/step at 50k IPs); the chunked form reads
+    nIP * 240 floats (~50 MB at 50k IPs).
     """
     n_k = ddof.shape[0]
-    n_ip = consts.ip_pos.shape[0]
-    dim = n_k * 10
-    ddof2 = ddof.reshape(dim, 3)
-    if consts.B.dtype == jnp.bfloat16:
-        # bf16 B with f32 accumulation: halves the HBM traffic of the two
-        # B contractions — the measured step bottleneck beyond ~25k IPs
-        # (PERF.md sim-scaling). Only B is quantized; the delta formulation
-        # keeps every contracted quantity O(deformation), so the 2^-8
-        # relative error perturbs forces by ~0.4% (trajectory-verified
-        # against the f64 oracle in tests/test_solver.py). global_inv and
-        # the mass matmul stay true-f32: the precision_probe NaN failure
-        # mode lives in the global solve, not the force assembly.
-        Fd = jnp.matmul(consts.B, ddof2.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)    # [3*nIP, 3]
+    C, S = consts.chunk_mu.shape
+    dofc = ddof[consts.chunk_nodes].reshape(C, 80, 3)    # [C,8] row gather
+    Dc = consts.Dc.reshape(C, S * 3, 80)
+    if Dc.dtype == jnp.bfloat16:
+        # bf16 blocks with f32 accumulation: the delta formulation keeps
+        # every contracted quantity O(deformation), so the 2^-8 relative
+        # error perturbs forces by ~0.4% (trajectory-verified against the
+        # f64 oracle in tests/test_solver.py). global_inv and the mass
+        # matmul stay true-f32: the precision_probe NaN failure mode lives
+        # in the global solve, not the force assembly.
+        Fd = jax.lax.dot_general(
+            Dc, dofc.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [C, 3S, 3]
     else:
-        Fd = jnp.matmul(consts.B, ddof2, precision=_HI)        # [3*nIP, 3]
+        Fd = jax.lax.dot_general(
+            Dc, dofc, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=_HI)                               # [C, 3S, 3]
 
-    # F[d][j] = delta_dj + Fd[(j, v), d] as [nIP] component arrays
+    # F[d][j] = delta_dj + Fd[v, j, d] as flattened [C*S] component arrays
+    Fd = Fd.reshape(C * S, 3, 3)
     F = tuple(
-        tuple(
-            Fd[j * n_ip:(j + 1) * n_ip, d] + (1.0 if d == j else 0.0)
-            for j in range(3))
+        tuple(Fd[:, j, d] + (1.0 if d == j else 0.0) for j in range(3))
         for d in range(3))
     dR, dV = corotated_delta(F)
 
     dx3 = consts.dx**3
-    # dPmat[(j, v), d] = dx^3 (mu dR[d][j] + lam dV[d][j])
-    dPmat = jnp.concatenate([
-        jnp.stack([dx3 * (consts.IP_mu * dR[d][j] + consts.IP_lam * dV[d][j])
-                   for d in range(3)], axis=1)
-        for j in range(3)], axis=0)                            # [3*nIP, 3]
+    mu = consts.chunk_mu.reshape(C * S)
+    lam = consts.chunk_lam.reshape(C * S)
+    # dP[v, j, d] = dx^3 (mu dR[d][j] + lam dV[d][j]); padded rows have
+    # mu = lam = 0 so they contribute exactly nothing
+    dP = jnp.stack([
+        jnp.stack([dx3 * (mu * dR[d][j] + lam * dV[d][j])
+                   for d in range(3)], axis=-1)
+        for j in range(3)], axis=1).reshape(C, S * 3, 3)
 
-    # transpose contraction of B (no Bt materialization)
-    if consts.B.dtype == jnp.bfloat16:
-        rhs2 = jax.lax.dot_general(
-            consts.B, dPmat.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # transpose contraction of the same blocks, then node scatter
+    if Dc.dtype == jnp.bfloat16:
+        rhs_c = jax.lax.dot_general(
+            Dc, dP.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [C, 80, 3]
     else:
-        rhs2 = jax.lax.dot_general(
-            consts.B, dPmat, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=_HI)
-    return rhs2.reshape(n_k, 10, 3)
+        rhs_c = jax.lax.dot_general(
+            Dc, dP, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=_HI)                               # [C, 80, 3]
+    contrib = rhs_c.reshape(C * 8, 10, 3)
+    return jax.ops.segment_sum(
+        contrib, consts.chunk_nodes.reshape(-1), num_segments=n_k)
 
 
 @jax.jit

@@ -348,7 +348,7 @@ def test_bf16_b_trajectory_matches_f32():
     forces by ~0.4%; the global solve stays true-f32."""
     consts, state, _ = _init(pin_top=True)
     consts_bf = solver.cast_B_bf16(consts)
-    assert consts_bf.B.dtype == jnp.bfloat16
+    assert consts_bf.Dc.dtype == jnp.bfloat16
 
     s32, sbf = state, state
     for _ in range(30):

@@ -50,7 +50,7 @@ def bench(dx, kres, iters=10):
     _ = float(jnp.sum(st.ddof))
     dt_step = (time.perf_counter() - t0) / reps
     print(f"dx={dx:.3f} kres={kres}: nIP={n_ip} nK={n_k} "
-          f"B={mb(consts.B):.0f}MB Ginv={mb(consts.global_inv):.0f}MB "
+          f"Dc={mb(consts.Dc):.0f}MB Ginv={mb(consts.global_inv):.0f}MB "
           f"init={t_init:.1f}s step={dt_step*1e3:.2f}ms "
           f"({1/dt_step:.0f} steps/s) finite={bool(jnp.isfinite(st.ddof).all())}")
 

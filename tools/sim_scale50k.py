@@ -48,8 +48,8 @@ def main():
         base=np.array([-1.0, -1.0, -1.0]))
     init_s = time.time() - t0
     n_ip = int(aux["n_ip"])
-    b_mb = consts.B.size * 4 / 1e6
-    print(f"{n} pts, {n_ip} IPs, kres={args.kres}, B={b_mb:.0f} MB "
+    b_mb = consts.Dc.size * 4 / 1e6
+    print(f"{n} pts, {n_ip} IPs, kres={args.kres}, Dc={b_mb:.0f} MB "
           f"(f32), init {init_s:.0f}s", flush=True)
 
     vid = jnp.int32(int(np.argmax(np.asarray(consts.ip_pos)[:, 1])))

@@ -363,3 +363,53 @@ def test_bf16_b_trajectory_matches_f32():
     sag = np.abs(p32 - np.asarray(point_positions(consts, state))).max()
     assert sag > 1e-3, "config did not deform; test is vacuous"
     assert dev < 0.2 * sag, f"bf16-B deviates {dev} vs sag {sag}"
+
+
+def test_chunk_split_cells_match_float64_oracle():
+    """Cells holding >S (=128) IPs must split into multiple chunks (see
+    SimConstants.Dc); this config forces splitting — a dense 14^3-point
+    cloud with dx small enough that one kernel cell holds ~190 IPs — and
+    pins one deformed step against the f64 dense oracle."""
+    g = np.linspace(0.05, 0.95, 14)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)
+    npts = pos.shape[0]
+    consts, state, aux = sim_init(
+        pos, np.full(npts, 0.1), np.full(npts, 1e4), np.full(npts, 1e4),
+        pos[:, 1] > 0.9,
+        dt=1e-2, iters=4, bbox=np.array([1.0, 1.0, 1.0]), kres=3,
+        dx=1.0 / 14, gravity=(0.0, -9.8, 0.0), stiff=1e5,
+        base=np.array([0.0, 0.0, 0.0]))
+    C, S = consts.chunk_mu.shape
+    n_ip = consts.ip_pos.shape[0]
+    n_cells = len(np.unique(np.asarray(consts.chunk_nodes), axis=0))
+    assert C > n_cells, (
+        f"config must force multi-chunk cells: C={C}, cells={n_cells}, "
+        f"S={S}, nIP={n_ip}")
+
+    G = np.asarray(consts.global_inv, np.float64)
+    M = np.asarray(consts.mass_invt2, np.float64)
+    rg = np.asarray(consts.rhs_gravity, np.float64)
+    dof_rest = np.asarray(consts.dof_rest, np.float64)
+    topo = np.asarray(consts.IP_kernel)
+    dNx = np.asarray(consts.IP_dNx, np.float64)
+    mu = np.asarray(consts.IP_mu, np.float64)
+    lam = np.asarray(consts.IP_lam, np.float64)
+    n_k = dof_rest.shape[0]
+    dim = n_k * 10
+
+    def E(dof):
+        return solver._rhs_elastic_np(consts.dx, topo, mu, lam, dNx, dof, n_k)
+
+    rhs_rest = E(dof_rest) + (M @ dof_rest.reshape(dim, 3)).reshape(n_k, 10, 3)
+    dof = dof_rest.copy()
+    momentum = (M @ dof.reshape(dim, 3)).reshape(n_k, 10, 3) + rg
+    for _ in range(4):
+        rhs = momentum + E(dof) - rhs_rest
+        dof = dof_rest + (G @ rhs.reshape(dim, 3)).reshape(n_k, 10, 3)
+
+    s = sim_step(consts, state)
+    got = np.asarray(s.ddof) + dof_rest
+    delta_scale = max(np.abs(dof - dof_rest).max(), 1e-12)
+    err = np.abs(got - dof).max()
+    assert err < 5e-2 * delta_scale + 1e-7, f"err={err}, scale={delta_scale}"

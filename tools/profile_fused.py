@@ -73,8 +73,8 @@ def main():
         base=np.array([-1.0, -1.0, -1.0]))
     print(f"scene: {n} pts, {consts.ip_pos.shape[0]} IPs")
 
-    ckpt = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))),
+    ckpt = os.environ.get("PF_CKPT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "runs/quality_mlp_800/checkpoints/ngp_ep0015.npz")
     tree, _ = ckpt_io.load_native(ckpt)
     params = tree.get("ema_params", tree.get("params", tree))

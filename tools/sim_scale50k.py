@@ -54,32 +54,40 @@ def main():
 
     vid = jnp.int32(int(np.argmax(np.asarray(consts.ip_pos)[:, 1])))
     vk, vn, vr = consts.IP_kernel[vid], consts.IP_Nx[vid], consts.ip_pos[vid]
+    # bench-protocol spring (k=1e5 at dx=0.05) scaled by cell volume so
+    # the force-per-mass matches at any lattice density: the local-global
+    # scheme is only conditionally stable (verify-skill gotcha) and the
+    # unscaled pull diverges at dx=0.02 — measured, and oracle-checked to
+    # be the PHYSICS, not the operator (rhs matches f64 at 2e-6 rel)
+    spring_k = 1e5 * (args.dx / 0.05) ** 3
 
-    def make_loop(cst):
-        @jax.jit
-        def loop(st, fi, k):
-            def body(i, st):
-                p_ip = vr + jnp.einsum("ia,iad->d", vn, st.ddof[vk])
-                ang = 0.25 * (fi + i)
-                tgt = vr + 0.2 * jnp.stack([jnp.cos(ang), jnp.sin(ang),
-                                            jnp.float32(0.0)])
-                f = jnp.clip(1e5 * (tgt - p_ip), -5e5, 5e5)
-                st = sim.update_force(cst, st, vid, f)
-                return sim.sim_step(cst, st)
-            return jax.lax.fori_loop(0, k, body, st)
-        return loop
+    import functools
+
+    # consts must be a jit ARGUMENT, not a closure: closed-over constants
+    # embed ~140 MB (global_inv + mass + Dc) into the compile payload,
+    # which the remote-compile tunnel rejects (HTTP 413)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def loop(cst, st, fi, k):
+        def body(i, st):
+            p_ip = vr + jnp.einsum("ia,iad->d", vn, st.ddof[vk])
+            ang = 0.25 * (fi + i)
+            tgt = vr + 0.2 * jnp.stack([jnp.cos(ang), jnp.sin(ang),
+                                        jnp.float32(0.0)])
+            f = jnp.clip(spring_k * (tgt - p_ip), -5e5, 5e5)
+            st = sim.update_force(cst, st, vid, f)
+            return sim.sim_step(cst, st)
+        return jax.lax.fori_loop(0, k, body, st)
 
     results = {}
     trajs = {}
     for name, cst in (("f32", consts), ("bf16", sim.cast_B_bf16(consts))):
-        loop = make_loop(cst)
-        st = loop(state, jnp.float32(0), 5)         # warm-up + compile
+        st = loop(cst, state, jnp.float32(0), 5)    # warm-up + compile
         _ = float(jnp.sum(st.ddof))
         rates = []
         fi = 5
         for _ in range(3):
             t0 = time.perf_counter()
-            st = loop(st, jnp.float32(fi), args.steps)
+            st = loop(cst, st, jnp.float32(fi), args.steps)
             _ = float(jnp.sum(st.ddof))
             fi += args.steps
             rates.append(args.steps / (time.perf_counter() - t0))

@@ -436,7 +436,12 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                                       & (xf[i] < par_ref[0, 0, 14 + 2 * i]))
                         xm = tuple(jnp.where(in_cut, xm[i], xf[i])
                                    for i in range(3))
-                        found = jnp.where(in_cut, found, True)
+                        # logical form of where(in_cut, found, True):
+                        # an i1 select against a scalar broadcast hits a
+                        # Mosaic legalization hole at some kernel widths
+                        # ("Unsupported target bitwidth for truncation",
+                        # seen at the trex 1008x752 / num_seek_IP=1 point)
+                        found = found | jnp.logical_not(in_cut)
                 else:
                     xm = xf
                     found = jnp.ones((1, Nb), bool)

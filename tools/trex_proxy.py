@@ -97,12 +97,20 @@ def stage_data(root: str, n_views: int, seed: int = 0):
           f"in {time.time()-t0:.1f}s -> {root}")
 
 
-def make_cfg(root: str, iters: int):
+def make_cfg(root: str, iters: int, lr_decay_rate: float = 1e-4,
+             train_max_samples: int = 64):
+    """lr_decay_rate defaults DEEP (1e-4, not the reference's 0.1): on
+    this dataset the fit breaks through at ~5k iters and then CRASHES
+    under the reference schedule (measured: 32.6 dB @ 6k -> 19.5 @ 30k
+    with train loss rising 5x — the same Adam noise-floor random walk as
+    PERF.md's lr study, arriving mid-run because the colmap-path loss
+    floor is higher). The deep tail freezes the post-breakthrough fit."""
     from pienerf_tpu.config import PieNeRFConfig
     cfg = PieNeRFConfig(
         path=root, dataset_type="colmap", bound=1.0, scale=1.0,
         dt_gamma=0.0, iters=iters, num_rays=4096, min_near=0.05,
-        train_max_samples=128, backbone="mlp",
+        train_max_samples=train_max_samples, backbone="mlp",
+        lr_decay_rate=lr_decay_rate,
         workspace=os.path.join(root, "ws"),
         cut=True, cut_bounds=CUT_BOUNDS,
         sub_res=96, density_threshold=0.02, sim_dx=0.05,

@@ -80,9 +80,15 @@ def main() -> None:
         field_src = "trained (runs/quality_mlp_800)"
         summ = os.path.join(os.path.dirname(ckpt), "..", "summary.json")
         if os.path.exists(summ):
-            s = json.load(open(summ))
-            field_src = (f"trained (runs/quality_mlp_800, {s['iters']} "
-                         f"iters, {s['final_psnr']:.1f} dB held-out)")
+            # tolerate schema drift / partial writes: a malformed summary
+            # must not kill the headless bench (ADVICE r4)
+            try:
+                with open(summ) as fh:
+                    s = json.load(fh)
+                field_src = (f"trained (runs/quality_mlp_800, {s['iters']} "
+                             f"iters, {s['final_psnr']:.1f} dB held-out)")
+            except (KeyError, ValueError, OSError):
+                pass
         # adopt the checkpoint's arch (4-layer sigma net, n_freqs from
         # the input width) so pack_weights matches
         nf = (params["sigma_net"][0].shape[0] // 3 - 1) // 2
@@ -273,6 +279,21 @@ def main() -> None:
     # pixel throughput at each system's interactive operating point.
     baseline_px_rate = 12.5 * (400 * 400)
     ours_px_rate = fps * (H * W)
+
+    # worst point of the committed deformation-amplitude sweep (PERF.md
+    # "fidelity vs deformation magnitude"): the headline psnr above is one
+    # pose; this carries the hardest measured pose next to it (r4 review).
+    worst = None
+    sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "runs/fidelity_sweep_r5.json")
+    try:
+        with open(sweep_path) as fh:
+            sw = json.load(fh)
+        worst = (f"{sw['worst_psnr']:.1f} dB vs exact at twist amp "
+                 f"{sw['worst_amp']} (256^2, tools/fidelity_sweep.py)")
+    except (KeyError, ValueError, OSError):
+        pass
+
     print(json.dumps({
         "metric": f"coupled sim+deformed-render FPS @ full {H}x{W} "
                   f"(sphere stand-in for chair demo, num_seek_IP=3, pinned "
@@ -286,6 +307,7 @@ def main() -> None:
             "solver_steps_per_s": round(steps_per_s, 1),
             "capacity_drops_frame0": drops,
             "fused_vs_exact_bend_psnr": round(psnr, 2),
+            "worst_amplitude_fidelity": worst,
             "field": field_src,
             "operating_point": ("K=128 + tightened spans + reach-scaled "
                                 "bend windows + f32-HIGHEST candidate "

@@ -85,7 +85,17 @@ class BeamBendSettings(NamedTuple):
     ip_dx: float = 0.0525
     ips_per_tile: int = 192       # P: beam candidate capacity
     bin_capacity: int = 8         # B: IPs per depth bin
-    beam_margin: float = 0.08     # world-space slack around the beam
+    beam_margin: float = 0.0      # world-space slack around the beam.
+    #                               0 = auto: max(0.08, bend reach). The
+    #                               beam test is the candidate-list GATE —
+    #                               a margin below the bend reach excludes
+    #                               IPs that can still influence edge-of-
+    #                               beam samples, and the round-5 sweep
+    #                               measured that as the mid-amplitude
+    #                               fidelity floor (amp-0.6 twist: 48.4 dB
+    #                               vs exact at margin 0.08, 94.3 dB at
+    #                               margin = reach; margin-only vs
+    #                               reach-only isolation in PERF.md).
     halo_bins: int = 1            # XLA fallback path only: bins each side
     #                               of a sample's own bin in its candidate
     #                               window (static; see auto_halo). The
@@ -110,6 +120,19 @@ def reach_of(settings: "BeamBendSettings") -> float:
     """Effective world-space candidate reach (see bend_reach)."""
     return (settings.bend_reach if settings.bend_reach > 0.0
             else 2.0 * settings.ip_dx)
+
+
+def margin_of(settings: "BeamBendSettings") -> float:
+    """Effective beam margin (see beam_margin): never below the bend
+    reach, or edge-of-beam samples lose reachable IPs at the gate.
+    Measured at the amp-0.6 worst point of the round-5 amplitude sweep
+    (tools/fidelity_sweep.py + PERF.md): margin factors 0.9-1.1x of the
+    reach all read 94.3 dB vs exact (vs 48.4 dB at the old fixed 0.08);
+    1.25x reads 92.3 and >=1.4x floods the Wn=64 windows and falls to 81.
+    1.0x is the principled point: the gate is never tighter than the
+    influence radius it feeds."""
+    return (settings.beam_margin if settings.beam_margin > 0.0
+            else max(0.08, reach_of(settings)))
 
 
 def auto_halo(reach: float, span: float, K: int) -> int:
@@ -144,11 +167,12 @@ def select_tile_candidates(
     rel = p_def[None, :, :] - origin[:, None, :]               # [C, nIP, 3]
     proj = jnp.einsum("cnd,cd->cn", rel, axis)                 # [C, nIP]
     lat2 = jnp.sum(rel * rel, axis=-1) - proj * proj
-    radius = tan_half[:, None] * jnp.clip(proj, 0.0, None) + settings.beam_margin
+    margin = margin_of(settings)
+    radius = tan_half[:, None] * jnp.clip(proj, 0.0, None) + margin
     ok = (
         (lat2 <= radius * radius)
-        & (proj >= t0[:, None] - settings.beam_margin)
-        & (proj <= t1[:, None] + settings.beam_margin)
+        & (proj >= t0[:, None] - margin)
+        & (proj <= t1[:, None] + margin)
     )                                                           # [C, nIP]
 
     # rank-compact up to P candidate ids per tile

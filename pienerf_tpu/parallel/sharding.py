@@ -148,6 +148,11 @@ def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):
     rows = NamedSharding(mesh, P(axis))
     n_dev = mesh.devices.size
 
+    # the sharded step always takes the chunked path (that is what shards);
+    # drop the small-scene dense operator if sim_init built one
+    if consts.B is not None:
+        consts = consts._replace(B=None)
+
     # pad the chunk dimension to a multiple of the mesh so it splits
     # evenly. Padded chunks have Dc = 0 and mu = lam = 0, so their
     # contribution is exactly zero in both directions (they scatter zeros
@@ -170,7 +175,8 @@ def make_sharded_sim_step(mesh: Mesh, consts, axis: str = "data"):
         return rows if name in _chunked else repl
 
     consts_shardings = type(consts)(
-        **{f: spec_for(f) for f in consts._fields})
+        **{f: (None if getattr(consts, f) is None else spec_for(f))
+           for f in consts._fields})
     consts_sh = jax.tree_util.tree_map(
         lambda leaf, sh: jax.device_put(leaf, sh)
         if hasattr(leaf, "shape") else leaf,

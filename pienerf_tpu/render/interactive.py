@@ -390,7 +390,7 @@ def render_frame_fused(
         cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
             ip_pack, p_def, origin, axis, tan_half, t0, t1,
             n_cand=st.bend.ips_per_tile, n_bins=K + 2,
-            beam_margin=st.bend.beam_margin, tighten_margin=tmarg,
+            beam_margin=beam_bend.margin_of(st.bend), tighten_margin=tmarg,
             approx_topk=st.prep_approx_topk)
         tile_sc = tile_sc.at[:, 0].set(t0)
         tile_sc = tile_sc.at[:, 1].set(t1)

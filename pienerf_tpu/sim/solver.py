@@ -50,6 +50,12 @@ from pienerf_tpu.sim.svd3 import corotated_delta, svd3x3
 # explicitly; the renderer's bf16 MLPs are a deliberate, separate choice.
 _HI = jax.lax.Precision.HIGHEST
 
+# IP count below which sim_init also builds the dense assembly operator
+# (measured crossover, tools/sim_ab_dense.py / runs/sim_ab_dense*.json:
+# dense is ~13% faster at 4.6k IPs, ~15% slower at 12k; B is 50 MB at
+# 4.6k and grows as nIP * n_k * 30 floats)
+DENSE_IP_THRESHOLD = 6000
+
 
 class SimConstants(NamedTuple):
     """Immutable per-scene data produced by sim_init (device arrays)."""
@@ -86,6 +92,14 @@ class SimConstants(NamedTuple):
     dt: float
     dx: float
     iters: int
+    # Dense [3*nIP, 10K] F-assembly operator, present only for SMALL scenes
+    # (round-5: the chunked form costs ~13% at the 3-5k-IP bench scale —
+    # node gather + segment_sum overhead the dense matmul doesn't pay —
+    # and wins ~15% by 12k where its 10x-smaller HBM traffic dominates;
+    # tools/sim_ab_dense.py, runs/sim_ab_dense*.json). sim_init auto-
+    # selects by IP count; rhs_elastic_delta dispatches on presence.
+    #   B[j*nIP + v, k*10 + a] = sum_i dNx[v, i, j, a] [IP_kernel[v,i]==k]
+    B: Optional[jax.Array] = None
 
 
 class SimState(NamedTuple):
@@ -207,6 +221,7 @@ def sim_init(
     stiff: float = 1e5,
     base: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    dense_operator: Optional[bool] = None,
 ) -> Tuple[SimConstants, SimState, dict]:
     """Build all per-scene constants. Mirrors reference solver.py:139-331.
 
@@ -305,7 +320,15 @@ def sim_init(
     cell_id = (ip2k[:, 0] * (kres - 1) + ip2k[:, 1]) * (kres - 1) + ip2k[:, 2]
     order = np.argsort(cell_id, kind="stable")
     _, cell_counts = np.unique(cell_id, return_counts=True)
-    S = int(min(128, max(8, -(-int(cell_counts.max()) // 8) * 8)))
+    # chunk row count: pick the S (multiple of 8, <=128) minimizing total
+    # padded rows — sizing from the single densest cell pads every chunk
+    # to that cell's count (ADVICE r4); dense outliers instead split into
+    # multiple chunks, which the assembly below already supports.
+    cmax = int(cell_counts.max())
+    cands = [s for s in range(8, 136, 8) if s <= max(8, -(-cmax // 8) * 8)]
+    padded = {s: int((-(-cell_counts // s)).sum() * s) for s in cands}
+    best = min(padded.values())
+    S = max(s for s in cands if padded[s] <= 1.1 * best)
     chunk_rows = []                 # list of [<=S] IP-index arrays
     lo = 0
     for c in cell_counts:
@@ -325,6 +348,22 @@ def sim_init(
         Dc[k, :n] = IP_dNx[v].transpose(0, 2, 1, 3).reshape(n, 3, 80)
         chunk_mu[k, :n] = IP_mu[v]
         chunk_lam[k, :n] = IP_lam[v]
+
+    # --- dense operator for small scenes (see SimConstants.B): below the
+    # measured crossover the two batched chunk matmuls + node gather +
+    # segment_sum cost more than one dense bandwidth-trivial matmul
+    # (tools/sim_ab_dense.py: dense +13% at 4.6k IPs, -15% at 12k)
+    if dense_operator is None:
+        dense_operator = n_ip <= DENSE_IP_THRESHOLD
+    Bop = None
+    if dense_operator:
+        Bop = np.zeros((3 * n_ip, dim))
+        bcols = (ip_kernel[:, :, None] * 10
+                 + np.arange(10)[None, None, :]).reshape(n_ip, 80)
+        bvrows = np.repeat(np.arange(n_ip)[:, None], 80, axis=1)
+        for j in range(3):
+            np.add.at(Bop, (j * n_ip + bvrows, bcols),
+                      IP_dNx[:, :, j, :].reshape(n_ip, 80))
 
     # rest positions reconstructed through the shape functions (float64) so
     # that p_def = pts_rest + sum(Nx * ddof) is exact at rest
@@ -355,6 +394,7 @@ def sim_init(
         dt=float(dt),
         dx=float(dx),
         iters=int(iters),
+        B=None if Bop is None else jnp.asarray(Bop, dtype),
     )
     state = SimState(
         ddof=jnp.zeros_like(consts.dof_rest),
@@ -369,7 +409,7 @@ def sim_init(
     return consts, state, aux
 
 
-_CACHE_VERSION = 2    # v2: chunked Dc operator replaced the dense B
+_CACHE_VERSION = 3    # v3: optional dense B back for small scenes (auto)
 
 
 def _sim_cache_key(pos, mass, mu, lam, is_pin, kw) -> str:
@@ -413,8 +453,11 @@ def sim_init_cached(pos, mass, mu, lam, is_pin, cache_dir: str,
         fields = {}
         for name in SimConstants._fields:
             v = z[f"c_{name}"]
-            fields[name] = (v.item() if v.ndim == 0
-                            else jnp.asarray(v))
+            if name == "B" and v.size == 0:
+                fields[name] = None          # size-0 sentinel = no dense op
+            else:
+                fields[name] = (v.item() if v.ndim == 0
+                                else jnp.asarray(v))
         consts = SimConstants(**fields)
         state = SimState(
             ddof=jnp.zeros_like(consts.dof_rest),
@@ -429,8 +472,9 @@ def sim_init_cached(pos, mass, mu, lam, is_pin, cache_dir: str,
     payload = {}
     for name in SimConstants._fields:
         v = getattr(consts, name)
-        payload[f"c_{name}"] = (np.asarray(v) if hasattr(v, "shape")
-                                else np.asarray(v))
+        if v is None:                        # absent dense B
+            v = np.zeros((0,), np.float32)
+        payload[f"c_{name}"] = np.asarray(v)
     for k, v in aux.items():
         payload[f"a_{k}"] = np.asarray(v)
     tmp = path + ".tmp.npz"   # np.savez appends .npz unless present
@@ -445,7 +489,10 @@ def cast_B_bf16(consts: SimConstants) -> SimConstants:
     tests/test_solver.py for the trajectory check. (With the chunked
     operator the traffic is ~40x smaller to begin with, so this is now a
     memory knob more than a speed knob.)"""
-    return consts._replace(Dc=consts.Dc.astype(jnp.bfloat16))
+    consts = consts._replace(Dc=consts.Dc.astype(jnp.bfloat16))
+    if consts.B is not None:
+        consts = consts._replace(B=consts.B.astype(jnp.bfloat16))
+    return consts
 
 
 # ---------------------------------------------------------------------------
@@ -474,6 +521,44 @@ def deformation_gradients(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     return dF + jnp.eye(3, dtype=ddof.dtype)
 
 
+def _rhs_elastic_delta_dense(consts: SimConstants,
+                             ddof: jax.Array) -> jax.Array:
+    """Small-scene variant of rhs_elastic_delta through the dense B
+    operator (identical math; see SimConstants.B). Parity vs the chunked
+    form is 2e-7 relative (tools/sim_ab_dense.py) and oracle-tested in
+    tests/test_solver.py."""
+    n_k = ddof.shape[0]
+    B = consts.B
+    n_ip = consts.IP_mu.shape[0]
+    if B.dtype == jnp.bfloat16:
+        Fd = jax.lax.dot_general(
+            B, ddof.reshape(n_k * 10, 3).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        Fd = jnp.matmul(B, ddof.reshape(n_k * 10, 3), precision=_HI)
+    # Fd[j*nIP + v, d] = F_delta[v, d, j]
+    F = tuple(
+        tuple(Fd[j * n_ip:(j + 1) * n_ip, d] + (1.0 if d == j else 0.0)
+              for j in range(3))
+        for d in range(3))
+    dR, dV = corotated_delta(F)
+    dx3 = consts.dx ** 3
+    mu, lam = consts.IP_mu, consts.IP_lam
+    dP = jnp.concatenate([
+        jnp.stack([dx3 * (mu * dR[d][j] + lam * dV[d][j])
+                   for d in range(3)], axis=-1)
+        for j in range(3)], axis=0)                      # [3*nIP, 3]
+    if B.dtype == jnp.bfloat16:
+        rhs = jax.lax.dot_general(
+            B, dP.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        rhs = jnp.matmul(B.T, dP, precision=_HI)
+    return rhs.reshape(n_k, 10, 3)
+
+
 def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     """E(dof) - E(rest): per-IP dx^3 (mu (R-I) + lam (V-I)) contracted with
     dNx. Exactly zero at rest (cuda_utils.py:83-151, delta form — see module
@@ -490,6 +575,8 @@ def rhs_elastic_delta(consts: SimConstants, ddof: jax.Array) -> jax.Array:
     nIP * 240 floats (~50 MB at 50k IPs).
     """
     n_k = ddof.shape[0]
+    if consts.B is not None:
+        return _rhs_elastic_delta_dense(consts, ddof)
     C, S = consts.chunk_mu.shape
     dofc = ddof[consts.chunk_nodes].reshape(C, 80, 3)    # [C,8] row gather
     Dc = consts.Dc.reshape(C, S * 3, 80)

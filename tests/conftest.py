@@ -38,6 +38,15 @@ _FAST_EXCLUDE = {
     # long tail of a 12-minute `-m fast` run (358s + 57 + 56 + 39 + 36 + 31
     # + 29). Each subsystem keeps sub-3s unit coverage in the tier.
     "test_training.py::test_end_to_end_training_fits_scene",
+    # Round-5 demotions to keep `-m fast` under its 2-minute bar: the 49k-IP
+    # chunk oracle (22s) and the GUI bridge (20s) move to the full tier;
+    # both subsystems keep fast coverage (test_solver rest/trajectory tests,
+    # test_viewer logic tests). In exchange the trained-field golden gains a
+    # 96x96 twin IN the tier (ADVICE r4) so fidelity regressions trip by
+    # default.
+    "test_solver.py::test_chunk_split_cells_match_float64_oracle",
+    "test_trainer_features.py::test_test_gui_bridge",
+    "test_raymarch.py::test_mark_untrained",
     "test_deformed.py::test_translated_object_renders_translated",
     "test_viewer.py::test_train_viewer_runs_and_accumulates",
     "test_viewer.py::test_sim_viewer_http_roundtrip",

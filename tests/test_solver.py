@@ -346,7 +346,7 @@ def test_bf16_b_trajectory_matches_f32():
     on the stable pinned-cube config (round-3 item 9). B only assembles
     the O(deformation) elastic delta, so the 2^-8 quantization perturbs
     forces by ~0.4%; the global solve stays true-f32."""
-    consts, state, _ = _init(pin_top=True)
+    consts, state, _ = _init(pin_top=True, dense_operator=False)
     consts_bf = solver.cast_B_bf16(consts)
     assert consts_bf.Dc.dtype == jnp.bfloat16
 
@@ -379,7 +379,8 @@ def test_chunk_split_cells_match_float64_oracle():
         pos[:, 1] > 0.9,
         dt=1e-2, iters=4, bbox=np.array([1.0, 1.0, 1.0]), kres=3,
         dx=1.0 / 14, gravity=(0.0, -9.8, 0.0), stiff=1e5,
-        base=np.array([0.0, 0.0, 0.0]))
+        base=np.array([0.0, 0.0, 0.0]),
+        dense_operator=False)   # this test pins the CHUNKED path
     C, S = consts.chunk_mu.shape
     n_ip = consts.ip_pos.shape[0]
     n_cells = len(np.unique(np.asarray(consts.chunk_nodes), axis=0))
@@ -413,3 +414,54 @@ def test_chunk_split_cells_match_float64_oracle():
     delta_scale = max(np.abs(dof - dof_rest).max(), 1e-12)
     err = np.abs(got - dof).max()
     assert err < 5e-2 * delta_scale + 1e-7, f"err={err}, scale={delta_scale}"
+
+def test_dense_auto_operator_matches_chunked():
+    """Round-5: small scenes auto-build the dense B (SimConstants.B) and
+    sim_step dispatches to it; the trajectory must match the chunked path
+    to f32 reduction-order noise. Also pins the auto-selection rule and
+    the bf16 cast of the dense operator."""
+    consts_d, state, _ = _init(pin_top=True)            # auto: dense
+    consts_c, _, _ = _init(pin_top=True, dense_operator=False)
+    assert consts_d.B is not None, "auto-selection should pick dense here"
+    assert consts_c.B is None
+
+    sd, sc = state, state
+    for _ in range(20):
+        sd = sim_step(consts_d, sd)
+        sc = sim_step(consts_c, sc)
+    pd = np.asarray(point_positions(consts_d, sd))
+    pc = np.asarray(point_positions(consts_c, sc))
+    assert np.isfinite(pd).all()
+    sag = np.abs(pc - np.asarray(point_positions(consts_c, state))).max()
+    assert sag > 1e-3, "config did not deform; test is vacuous"
+    dev = np.abs(pd - pc).max()
+    assert dev < 1e-3 * sag + 1e-6, f"dense deviates {dev} vs sag {sag}"
+
+    # bf16 cast covers the dense operator too
+    consts_bf = solver.cast_B_bf16(consts_d)
+    assert consts_bf.B.dtype == jnp.bfloat16
+    sbf = sim_step(consts_bf, state)
+    assert np.isfinite(np.asarray(sbf.ddof)).all()
+
+
+def test_dense_operator_cache_roundtrip(tmp_path):
+    """The v3 cache must round-trip both the present-B and absent-B forms
+    (absent stored as a size-0 sentinel)."""
+    pos, mass, mu, lam, pin = _cube_cloud()
+    kw = dict(dt=1e-2, iters=4, bbox=np.array([1.0, 1.0, 1.0]), kres=4,
+              dx=0.2, gravity=(0.0, -9.8, 0.0), stiff=1e5,
+              base=np.array([0.0, 0.0, 0.0]))
+    for dense in (True, False):
+        cdir = str(tmp_path / f"cache_{dense}")
+        c1, _, _ = solver.sim_init_cached(pos, mass, mu, lam, pin,
+                                          cache_dir=cdir,
+                                          dense_operator=dense, **kw)
+        c2, _, _ = solver.sim_init_cached(pos, mass, mu, lam, pin,
+                                          cache_dir=cdir,
+                                          dense_operator=dense, **kw)
+        if dense:
+            assert c1.B is not None and c2.B is not None
+            assert np.array_equal(np.asarray(c1.B), np.asarray(c2.B))
+        else:
+            assert c1.B is None and c2.B is None
+        assert np.array_equal(np.asarray(c1.Dc), np.asarray(c2.Dc))

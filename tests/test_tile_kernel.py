@@ -328,9 +328,13 @@ def test_reach_halo_beats_legacy_one_bin_halo_vs_exact():
     pack = beam_bend.pack_ip_data_fast(p_def, p_ori, Fj, dFj)
 
     K = 64   # bins ~0.02 world << reach 0.21: the legacy halo starves
+    # beam_margin pinned to the round-3 value: this test isolates the
+    # WINDOW-halo ordering (reach-scaled vs legacy 1-bin); the round-5
+    # auto-margin (margin_of) would otherwise flood this big-ip_dx config
+    # past Wn=64 in both arms and blur the comparison.
     base = beam_bend.BeamBendSettings(num_seek_ip=3, max_iter_num=1,
                                       ip_dx=0.105, ips_per_tile=256,
-                                      bin_capacity=8)
+                                      bin_capacity=8, beam_margin=0.08)
     ist = interactive.InteractiveSettings(
         spec=spec, bend=base, tile=16, samples=K, active_frac=1.0,
         tile_chunk=4, min_near=0.05, bend_window=64)

@@ -13,6 +13,10 @@ against BOTH committed frames, so a window/selection-logic change that
 silently costs >~0.1 dB vs the exact oracle fails here before it reaches
 bench.
 
+A 96x96 twin of the same check runs in the fast tier (ADVICE r4: the
+guard must actually execute in the default tier); the 256 variant stays
+in the full tier.
+
 Goldens are generated once (TPU or CPU — f32, deterministic sampling)
 with:  python tests/test_trained_golden.py --regen
 Reference analogue: the main_render.py offline deterministic harness
@@ -27,18 +31,21 @@ import pytest
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 CKPT = os.path.join(os.path.dirname(__file__), "..",
                     "runs/quality_mlp_800/checkpoints/ngp_ep0015.npz")
-GOLDEN = os.path.join(GOLDEN_DIR, "trained_256_v1.npz")
 
-H = W = 256
-# PSNR floors (dB) vs the committed frames. At regen time the fused
-# frame scored 42.24 dB vs the exact oracle under this amp=0.6 twist
-# (harder than the bench's spring-drag pose, where the same kernel
-# measures 87.8 dB — PERF.md "fetch precision"); the fused-vs-golden
-# self-agreement is >= 58 dB across platforms. The class of bug this
-# guards (window/selection/precision regressions) costs 10-50 dB, so
-# these floors trip on real regressions and not on re-jit noise.
-FLOOR_VS_FUSED = 40.0
-FLOOR_VS_EXACT = 38.0
+# PSNR floors (dB) vs the committed frames, per resolution. Round-5 regen
+# (after the auto beam-margin fix, margin_of = reach): the fused frame
+# scores 93.6 dB (256) vs the exact oracle under this amp=0.6 twist —
+# up from 42.2 at the round-4 fixed margin 0.08, the measured worst point
+# of the amplitude sweep (PERF.md "beam margin"). Cross-platform
+# fused-render agreement measured 65-70 dB (CPU render vs TPU-generated
+# goldens, /tmp runs 2026-08-19), so floors at 55 trip on the old
+# 42-48 dB failure class with ~10 dB of re-jit/platform headroom.
+_VARIANTS = {
+    256: {"golden": "trained_256_v1.npz",
+          "floor_vs_fused": 55.0, "floor_vs_exact": 55.0},
+    96: {"golden": "trained_96_v1.npz",
+         "floor_vs_fused": 55.0, "floor_vs_exact": 55.0},
+}
 
 
 def _load_trained():
@@ -85,7 +92,7 @@ def _twist_state(dx=0.08, r0=0.45, amp=0.6):
     return p_ori, p_def, F, dF, dx
 
 
-def _settings(spec, dx):
+def _settings(spec, dx, res):
     from pienerf_tpu.ops import beam_bend
     from pienerf_tpu.render import interactive
 
@@ -97,13 +104,13 @@ def _settings(spec, dx):
         tile_chunk=16, min_near=0.05, tighten_sampling=False)
 
 
-def _pose_intr():
+def _pose_intr(res):
     pose = np.eye(4, dtype=np.float32)
     pose[:3, 3] = (0, 0, -2.5)
-    return pose, (1.2 * H, 1.2 * H, W / 2.0, H / 2.0)
+    return pose, (1.2 * res, 1.2 * res, res / 2.0, res / 2.0)
 
 
-def _render_fused():
+def _render_fused(res):
     import jax.numpy as jnp
 
     from pienerf_tpu.ops import beam_bend
@@ -111,32 +118,33 @@ def _render_fused():
 
     spec, params, pw = _load_trained()
     p_ori, p_def, F, dF, dx = _twist_state()
-    ist = _settings(spec, dx)
-    pose, intr = _pose_intr()
+    ist = _settings(spec, dx, res)
+    pose, intr = _pose_intr(res)
     pack = beam_bend.pack_ip_data_fast(
         jnp.asarray(p_def), jnp.asarray(p_ori), jnp.asarray(F),
         jnp.asarray(dF))
     out = interactive.render_frame_fused(
-        ist, pw, pack, jnp.asarray(p_def), jnp.asarray(pose), intr, H, W,
-        jnp.float32(1.0))
+        ist, pw, pack, jnp.asarray(p_def), jnp.asarray(pose), intr,
+        res, res, jnp.float32(1.0))
     return interactive.tiles_to_image(
-        np.asarray(out["tiles_image"], np.float32), H, W)
+        np.asarray(out["tiles_image"], np.float32), res, res)
 
 
-def _render_exact():
+def _render_exact(res):
     import jax.numpy as jnp
 
     from pienerf_tpu.render import interactive
 
     spec, params, pw = _load_trained()
     p_ori, p_def, F, dF, dx = _twist_state()
-    ist = _settings(spec, dx)
-    pose, intr = _pose_intr()
+    ist = _settings(spec, dx, res)
+    pose, intr = _pose_intr(res)
     out = interactive.render_frame_exact(
         ist, pw, jnp.asarray(p_def), jnp.asarray(p_ori), jnp.asarray(F),
-        jnp.asarray(dF), jnp.asarray(pose), intr, H, W, jnp.float32(1.0))
+        jnp.asarray(dF), jnp.asarray(pose), intr, res, res,
+        jnp.float32(1.0))
     return interactive.tiles_to_image(
-        np.asarray(out["tiles_image"], np.float32), H, W)
+        np.asarray(out["tiles_image"], np.float32), res, res)
 
 
 def _psnr(a, b):
@@ -144,20 +152,32 @@ def _psnr(a, b):
     return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
 
-@pytest.mark.skipif(not os.path.exists(CKPT),
-                    reason="trained checkpoint not present")
-def test_trained_field_golden():
-    assert os.path.exists(GOLDEN), "golden missing; run --regen"
-    img = _render_fused()
-    g = np.load(GOLDEN)
+def _check(res):
+    v = _VARIANTS[res]
+    golden = os.path.join(GOLDEN_DIR, v["golden"])
+    assert os.path.exists(golden), f"golden missing; run --regen ({golden})"
+    img = _render_fused(res)
+    g = np.load(golden)
     p_fused = _psnr(img, g["fused"].astype(np.float32))
     p_exact = _psnr(img, g["exact"].astype(np.float32))
     assert np.isfinite(img).all()
-    assert p_fused >= FLOOR_VS_FUSED, (
-        f"fused frame drifted from committed golden: {p_fused:.1f} dB")
-    assert p_exact >= FLOOR_VS_EXACT, (
-        f"fused frame lost fidelity vs exact-bending oracle: "
+    assert p_fused >= v["floor_vs_fused"], (
+        f"fused {res} frame drifted from committed golden: {p_fused:.1f} dB")
+    assert p_exact >= v["floor_vs_exact"], (
+        f"fused {res} frame lost fidelity vs exact-bending oracle: "
         f"{p_exact:.1f} dB")
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT),
+                    reason="trained checkpoint not present")
+def test_trained_field_golden():
+    _check(256)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT),
+                    reason="trained checkpoint not present")
+def test_trained_field_golden_fast():
+    _check(96)
 
 
 if __name__ == "__main__":
@@ -166,11 +186,16 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if "--regen" in sys.argv:
         os.makedirs(GOLDEN_DIR, exist_ok=True)
-        fused = _render_fused()
-        exact = _render_exact()
-        p = _psnr(fused, exact)
-        np.savez_compressed(
-            GOLDEN, fused=fused.astype(np.float16),
-            exact=exact.astype(np.float16))
-        print(f"goldens written: fused-vs-exact {p:.2f} dB, "
-              f"means {fused.mean():.4f}/{exact.mean():.4f}")
+        for res, v in _VARIANTS.items():
+            golden = os.path.join(GOLDEN_DIR, v["golden"])
+            if os.path.exists(golden) and "--force" not in sys.argv:
+                print(f"{golden} exists; skipping (use --force)")
+                continue
+            fused = _render_fused(res)
+            exact = _render_exact(res)
+            p = _psnr(fused, exact)
+            np.savez_compressed(
+                golden, fused=fused.astype(np.float16),
+                exact=exact.astype(np.float16))
+            print(f"golden {res} written: fused-vs-exact {p:.2f} dB, "
+                  f"means {fused.mean():.4f}/{exact.mean():.4f}")

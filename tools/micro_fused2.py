@@ -73,13 +73,13 @@ def dev_timed(fn, R=8, reps=3):
 def prep_only(x):
     cand, bs, nd, _, _ = tile_kernel.prep_candidates(
         pack, p_def + x*1e-20, origin, axis, tan_half, t0v, t1v,
-        n_cand=192, n_bins=K+2, beam_margin=bst.beam_margin)
+        n_cand=192, n_bins=K+2, beam_margin=beam_bend.margin_of(bst))
     return x + jnp.sum(cand[:, 0, 0]) * 1e-12 + jnp.sum(bs[:, 0]).astype(jnp.float32)*1e-12
 print(f"prep_candidates (A=1248): {dev_timed(prep_only)*1e3:.2f} ms")
 
 cand, bs, nd, _, _ = jax.jit(lambda: tile_kernel.prep_candidates(
     pack, p_def, origin, axis, tan_half, t0v, t1v,
-    n_cand=192, n_bins=K+2, beam_margin=bst.beam_margin))()
+    n_cand=192, n_bins=K+2, beam_margin=beam_bend.margin_of(bst)))()
 dirs = jnp.zeros((A, 8, T2), jnp.float32)
 for i in range(3): dirs = dirs.at[:, i, :].set(d[i])
 tsc = jnp.zeros((A, 8), jnp.float32).at[:,0].set(t0v).at[:,1].set(t1v).at[:,2].set(anyh.astype(jnp.float32))

@@ -66,8 +66,16 @@ def time_it(fetch, table, idx, reps=5):
     for k in (4, 5, 6):
         tRs.append(timed(fR, k)[0])
         t1s.append(timed(f1, k)[0])
-    dt = (sorted(tRs)[1] - sorted(t1s)[1]) / (R - 1)
-    return max(dt, 1e-9), s
+    t1 = sorted(t1s)[1]
+    dt = (sorted(tRs)[1] - t1) / (R - 1)
+    # a non-positive (or <2% of the 1-rep wall) difference means timer
+    # noise swamped the per-rep cost: report it as invalid rather than
+    # clamping to 1e-9 and printing ~1e9x throughput (ADVICE r4)
+    if dt <= max(0.02 * t1 / max(R - 1, 1), 0.0):
+        raise ValueError(
+            f"noise-dominated: diff {dt*1e6:.2f} us/rep vs 1-rep wall "
+            f"{t1*1e3:.2f} ms (R={R})")
+    return dt, s
 
 
 # --- A: one-hot MXU fetch, table resident in VMEM --------------------------

@@ -202,7 +202,7 @@ def main():
         cand, bin_start, nd, t0e, t1e = tile_kernel.prep_candidates(
             pk, pd + eps, origin, axis, tan_half, t0, t1,
             n_cand=bst.ips_per_tile, n_bins=K + 2,
-            beam_margin=bst.beam_margin, tighten_margin=tmarg)
+            beam_margin=beam_bend.margin_of(bst), tighten_margin=tmarg)
         return cand, bin_start, t0e, t1e
 
     pacc = [None]

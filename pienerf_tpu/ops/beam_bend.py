@@ -144,6 +144,43 @@ def auto_halo(reach: float, span: float, K: int) -> int:
     return max(1, int(math.ceil(reach * K / max(span, 1e-6))))
 
 
+def count_in_beam(
+    settings: "BeamBendSettings",
+    p_def: jax.Array,            # [nIP, 3]
+    origin: jax.Array,           # [3] shared camera origin
+    axis: jax.Array,             # [A, 3] central ray directions (unit)
+    tan_half: jax.Array,         # [A] or scalar
+    t0: jax.Array,               # [A]
+    t1: jax.Array,               # [A]
+) -> jax.Array:
+    """Per-tile count of IPs passing the beam candidate gate — the SAME
+    test as select_tile_candidates / tile_kernel.prep_candidates (same
+    margin_of slack), evaluated for every tile of the frame.
+
+    Used for candidate-count tile activity (round-4 review item 3): in
+    deformed non-cut rendering a tile with count 0 provably renders as
+    pure background (every sample is unfound -> sigma = 0), so it never
+    needs a kernel slot. Componentwise [A, nIP] planes only (the [A, nIP,
+    3] form pads 3 -> 128 lanes; PERF.md layout rule)."""
+    proj = None
+    lat2 = None
+    for i in range(3):
+        rel = p_def[None, :, i] - origin[i]                     # [A broadcast]
+        c = rel * axis[:, i:i + 1]
+        proj = c if proj is None else proj + c
+        lat2 = rel * rel if lat2 is None else lat2 + rel * rel
+    lat2 = lat2 - proj * proj
+    margin = margin_of(settings)
+    tan_half = jnp.broadcast_to(tan_half, t0.shape)
+    radius = tan_half[:, None] * jnp.clip(proj, 0.0, None) + margin
+    ok = (
+        (lat2 <= radius * radius)
+        & (proj >= t0[:, None] - margin)
+        & (proj <= t1[:, None] + margin)
+    )
+    return jnp.sum(ok, axis=1)
+
+
 def select_tile_candidates(
     settings: BeamBendSettings,
     ip_pack: jax.Array,          # [nIP, 48]

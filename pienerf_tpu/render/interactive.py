@@ -71,6 +71,29 @@ class InteractiveSettings(NamedTuple):
     #                                bench shape, but bin collisions drop
     #                                ~5% of candidates; fidelity cost vs
     #                                the exact oracle is priced in PERF.md
+    gate_tiles: bool = True        # deformed non-cut mode: a tile is active
+    #                                only if >=1 IP passes its beam gate
+    #                                (beam_bend.count_in_beam — the same
+    #                                test prep runs). LOSSLESS: a tile with
+    #                                zero candidates provably renders as
+    #                                background (every sample unfound ->
+    #                                sigma = 0). Bbox-grazing tiles with no
+    #                                nearby IPs stop burning kernel slots
+    #                                (round-4 review item 3; priced in
+    #                                PERF.md round-5 frame budget)
+    cut_split: bool = True         # cut mode: partition tiles into
+    #                                cut-box-intersecting (full bend kernel)
+    #                                and static-only (bend-free kernel) and
+    #                                render each class in its own pass. The
+    #                                partition is EXACT — a tile whose rays
+    #                                never enter cut_bounds cannot contain
+    #                                a bending sample (round-5 trex
+    #                                economics; priced in PERF.md)
+    cut_static_frac: float = 0.95  # slot capacity of the static class as a
+    #                                fraction of n_tiles (cut scenes are
+    #                                mostly static tiles; overflow is
+    #                                counted in n_tile_overflow).
+    #                                active_frac sizes the bend class
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -116,6 +139,26 @@ def _near_far(o, d, bbmin, bbmax, min_near):
     return jnp.where(miss, BIG, near), jnp.where(miss, BIG, far)
 
 
+def _tiles_with_candidates(st, p_def, o, d_all, near_all, far_all,
+                           hit_tile, intrinsics):
+    """Per-tile ``count_in_beam > 0`` over the whole frame (see
+    InteractiveSettings.gate_tiles). Recomputes the SAME per-tile t0/t1
+    and central axis the candidate prep derives for active slots, so a
+    gated-out tile is exactly one prep would hand zero candidates."""
+    thit = near_all < 1e30
+    t0 = jnp.min(jnp.where(thit, near_all, jnp.inf), axis=1)
+    t1 = jnp.max(jnp.where(thit, far_all, -jnp.inf), axis=1)
+    t0 = jnp.where(hit_tile, t0, 1.0)
+    t1 = jnp.where(hit_tile, jnp.maximum(t1, t0 + 1e-3), 1.001)
+    ax = tuple(jnp.mean(d_all[i], axis=1) for i in range(3))
+    an = jnp.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
+    axis = jnp.stack([ax[i] / an for i in range(3)], axis=1)
+    tan_half = jnp.float32(st.tile * 0.75 / intrinsics[0])
+    n_cand = beam_bend.count_in_beam(
+        st.bend, p_def, o, axis, tan_half, t0, t1)
+    return n_cand > 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "H", "W"),
@@ -159,6 +202,9 @@ def render_frame(
     o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
     near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
     hit_tile = jnp.any(near_all < 1e30, axis=1)                # [n_tiles]
+    if st.deformed and not st.cut and st.gate_tiles:
+        hit_tile &= _tiles_with_candidates(
+            st, p_def, o, d_all, near_all, far_all, hit_tile, intrinsics)
 
     rank = jnp.cumsum(hit_tile) - 1
     take = hit_tile & (rank < a_cap)
@@ -289,6 +335,114 @@ def render_frame(
             "dropped_window": jnp.sum(dr_bins)}
 
 
+def _compact_tiles(mask: jax.Array, cap: int, all_tids: jax.Array):
+    """Rank-compact a boolean tile mask into `cap` slots. Returns
+    (ids [cap], slot_mask [cap], n, overflow)."""
+    rank = jnp.cumsum(mask) - 1
+    take = mask & (rank < cap)
+    ids = jnp.zeros((cap,), jnp.int32)
+    ids = ids.at[jnp.where(take, rank, cap)].set(
+        jnp.where(take, all_tids, 0), mode="drop")
+    n = jnp.sum(take)
+    return ids, jnp.arange(cap) < n, n, jnp.sum(mask) - n
+
+
+def _fused_tile_pass(st, packed_w, ip_pack, p_def, o, pose, intrinsics,
+                     H, W, act_ids, act_mask, bbmin, bbmax,
+                     deformed, cut, cut_bounds, t_jitter):
+    """One Pallas tile-kernel pass over a compacted slot list: per-tile ray
+    data -> (deformed only) candidate prep -> render_tiles. Returns
+    (imgs [A, T2, 3], depths, wss, dropped_beam, dropped_window)."""
+    ts = st.tile
+    T2 = ts * ts
+    K = st.samples
+    a_cap = act_ids.shape[0]
+
+    o_, d = _tile_rays(act_ids, st, H, W, pose, intrinsics)
+    near, far = _near_far(o_, d, bbmin, bbmax, st.min_near)
+    thit = near < 1e30
+    t0 = jnp.min(jnp.where(thit, near, jnp.inf), axis=1)
+    t1 = jnp.max(jnp.where(thit, far, -jnp.inf), axis=1)
+    any_hit = jnp.isfinite(t0) & act_mask
+    t0 = jnp.where(any_hit, t0, 1.0)
+    t1 = jnp.where(any_hit, jnp.maximum(t1, t0 + 1e-3), 1.001)
+
+    dirs = jnp.zeros((a_cap, 8, T2), jnp.float32)
+    for i in range(3):
+        dirs = dirs.at[:, i, :].set(d[i])
+
+    tile_sc = jnp.zeros((a_cap, 8), jnp.float32)
+    tile_sc = tile_sc.at[:, 0].set(t0)
+    tile_sc = tile_sc.at[:, 1].set(t1)
+    tile_sc = tile_sc.at[:, 2].set(any_hit.astype(jnp.float32))
+
+    # --- candidate prep
+    if deformed:
+        ax = tuple(jnp.mean(d[i], axis=1) for i in range(3))
+        an = jnp.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
+        axis = jnp.stack([ax[i] / an for i in range(3)], axis=1)
+        origin = jnp.broadcast_to(o, (a_cap, 3))
+        fx = intrinsics[0]
+        tan_half = jnp.broadcast_to(jnp.float32(ts * 0.75 / fx), (a_cap,))
+        # cut mode must march the full range (outside cut_bounds renders
+        # the static scene, which has density anywhere in the box).
+        # the crop margin must exceed the bend reach so tightening stays
+        # lossless (a sample beyond reach of every candidate is unfound)
+        tmarg = (max(3.0 * st.bend.ip_dx,
+                     beam_bend.reach_of(st.bend) + st.bend.ip_dx)
+                 if (st.tighten_sampling and not cut) else 0.0)
+        cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
+            ip_pack, p_def, origin, axis, tan_half, t0, t1,
+            n_cand=st.bend.ips_per_tile, n_bins=K + 2,
+            beam_margin=beam_bend.margin_of(st.bend), tighten_margin=tmarg,
+            approx_topk=st.prep_approx_topk)
+        tile_sc = tile_sc.at[:, 0].set(t0)
+        tile_sc = tile_sc.at[:, 1].set(t1)
+        dropped_beam = jnp.sum(jnp.where(act_mask, n_drop_beam, 0))
+    else:
+        cand = jnp.zeros((a_cap, max(st.bend.ips_per_tile, 64),
+                          tile_kernel.PACK_FAST), jnp.float32)
+        bin_start = jnp.zeros((a_cap, K + 4), jnp.int32)
+        dropped_beam = jnp.int32(0)
+
+    params = jnp.zeros((24,), jnp.float32)
+    params = params.at[0:3].set(o)
+    params = params.at[3:6].set(bbmin)
+    params = params.at[6:9].set(bbmax)
+    params = params.at[9].set(st.T_thresh)
+    params = params.at[10].set(st.density_scale)
+    params = params.at[11].set(st.bend.ip_dx)
+    params = params.at[12].set(st.min_near)
+    params = params.at[19].set(t_jitter)
+    params = params.at[20].set(beam_bend.reach_of(st.bend))
+    if cut:
+        assert cut_bounds is not None
+        # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
+        params = params.at[13:19].set(cut_bounds)
+
+    # MLP segment length (VMEM batch) and bend sub-window depth; the
+    # settings defaults (8/4) are the tuned 800x800 configuration
+    # (tools/micro_seg.py ablation), with a fallback for K values they
+    # don't divide
+    if K % st.seg_samples == 0:
+        Ks = st.seg_samples
+    else:
+        Ks = next(k for k in (16, 8, 4, 2, 1) if K % k == 0)
+    Ksb = st.bend_sub if Ks % st.bend_sub == 0 else Ks
+    out = tile_kernel.render_tiles(
+        st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
+        K=K, Ks=Ks, Ksb=Ksb, Wn=min(st.bend_window, st.bend.ips_per_tile),
+        num_seek=st.bend.num_seek_ip,
+        deformed=deformed, cut=cut,
+        interpret=jax.default_backend() == "cpu")
+
+    imgs = jnp.moveaxis(out[:, 0:3, :], 1, 2)                   # [A, T2, 3]
+    depths = out[:, 3, :]
+    wss = out[:, 4, :]
+    dropped_window = jnp.sum(jnp.where(act_mask, out[:, 5, 0], 0.0))
+    return imgs, depths, wss, dropped_beam, dropped_window
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "H", "W"))
 def render_frame_fused(
     settings: InteractiveSettings,
@@ -343,6 +497,9 @@ def render_frame_fused(
     o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
     near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
     hit_tile = jnp.any(near_all < 1e30, axis=1)
+    if st.deformed and not st.cut and st.gate_tiles:
+        hit_tile &= _tiles_with_candidates(
+            st, p_def, o, d_all, near_all, far_all, hit_tile, intrinsics)
 
     rank = jnp.cumsum(hit_tile) - 1
     take = hit_tile & (rank < a_cap)
@@ -353,89 +510,58 @@ def render_frame_fused(
     act_mask = jnp.arange(a_cap) < act_n
     n_tile_overflow = jnp.sum(hit_tile) - act_n
 
-    # --- per-active-tile ray data
-    o_, d = _tile_rays(act_ids, st, H, W, pose, intrinsics)
-    near, far = _near_far(o_, d, bbmin, bbmax, st.min_near)
-    thit = near < 1e30
-    t0 = jnp.min(jnp.where(thit, near, jnp.inf), axis=1)
-    t1 = jnp.max(jnp.where(thit, far, -jnp.inf), axis=1)
-    any_hit = jnp.isfinite(t0) & act_mask
-    t0 = jnp.where(any_hit, t0, 1.0)
-    t1 = jnp.where(any_hit, jnp.maximum(t1, t0 + 1e-3), 1.001)
-
-    dirs = jnp.zeros((a_cap, 8, T2), jnp.float32)
-    for i in range(3):
-        dirs = dirs.at[:, i, :].set(d[i])
-
-    tile_sc = jnp.zeros((a_cap, 8), jnp.float32)
-    tile_sc = tile_sc.at[:, 0].set(t0)
-    tile_sc = tile_sc.at[:, 1].set(t1)
-    tile_sc = tile_sc.at[:, 2].set(any_hit.astype(jnp.float32))
-
-    # --- candidate prep
-    if st.deformed:
-        ax = tuple(jnp.mean(d[i], axis=1) for i in range(3))
-        an = jnp.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
-        axis = jnp.stack([ax[i] / an for i in range(3)], axis=1)
-        origin = jnp.broadcast_to(o, (a_cap, 3))
-        fx = intrinsics[0]
-        tan_half = jnp.broadcast_to(jnp.float32(ts * 0.75 / fx), (a_cap,))
-        # cut mode must march the full range (outside cut_bounds renders
-        # the static scene, which has density anywhere in the box).
-        # the crop margin must exceed the bend reach so tightening stays
-        # lossless (a sample beyond reach of every candidate is unfound)
-        tmarg = (max(3.0 * st.bend.ip_dx,
-                     beam_bend.reach_of(st.bend) + st.bend.ip_dx)
-                 if (st.tighten_sampling and not st.cut) else 0.0)
-        cand, bin_start, n_drop_beam, t0, t1 = tile_kernel.prep_candidates(
-            ip_pack, p_def, origin, axis, tan_half, t0, t1,
-            n_cand=st.bend.ips_per_tile, n_bins=K + 2,
-            beam_margin=beam_bend.margin_of(st.bend), tighten_margin=tmarg,
-            approx_topk=st.prep_approx_topk)
-        tile_sc = tile_sc.at[:, 0].set(t0)
-        tile_sc = tile_sc.at[:, 1].set(t1)
-        dropped_beam = jnp.sum(jnp.where(act_mask, n_drop_beam, 0))
-    else:
-        cand = jnp.zeros((a_cap, max(st.bend.ips_per_tile, 64),
-                          tile_kernel.PACK_FAST), jnp.float32)
-        bin_start = jnp.zeros((a_cap, K + 4), jnp.int32)
-        dropped_beam = jnp.int32(0)
-
-    params = jnp.zeros((24,), jnp.float32)
-    params = params.at[0:3].set(o)
-    params = params.at[3:6].set(bbmin)
-    params = params.at[6:9].set(bbmax)
-    params = params.at[9].set(st.T_thresh)
-    params = params.at[10].set(st.density_scale)
-    params = params.at[11].set(st.bend.ip_dx)
-    params = params.at[12].set(st.min_near)
-    params = params.at[19].set(t_jitter)
-    params = params.at[20].set(beam_bend.reach_of(st.bend))
-    if st.cut:
+    if st.cut and st.deformed and st.cut_split:
+        # --- cut-split (round-5, trex economics): a tile whose rays never
+        # enter cut_bounds renders the STATIC scene exactly (no sample can
+        # bend), so it takes a bend-free kernel pass — no candidate prep,
+        # no windows, no Newton. Only cut-box-intersecting tiles pay for
+        # bending. The partition is exact, not approximate (the in_cut
+        # test in the kernel is positional; a sample in the box lies on a
+        # ray that intersects the box).
         assert cut_bounds is not None
-        # reorder [xmin,xmax,ymin,ymax,zmin,zmax] (already pairwise)
-        params = params.at[13:19].set(cut_bounds)
+        cb = cut_bounds
+        cmin = jnp.stack([cb[0], cb[2], cb[4]])
+        cmax = jnp.stack([cb[1], cb[3], cb[5]])
+        cnear, _ = _near_far(o, d_all, cmin, cmax, st.min_near)
+        cut_hit = jnp.any(cnear < 1e30, axis=1)
+        bend_tiles = hit_tile & cut_hit
+        static_tiles = hit_tile & ~cut_hit
 
-    # MLP segment length (VMEM batch) and bend sub-window depth; the
-    # settings defaults (8/4) are the tuned 800x800 configuration
-    # (tools/micro_seg.py ablation), with a fallback for K values they
-    # don't divide
-    if K % st.seg_samples == 0:
-        Ks = st.seg_samples
-    else:
-        Ks = next(k for k in (16, 8, 4, 2, 1) if K % k == 0)
-    Ksb = st.bend_sub if Ks % st.bend_sub == 0 else Ks
-    out = tile_kernel.render_tiles(
-        st.spec, packed_w, tile_sc, bin_start, params, dirs, cand,
-        K=K, Ks=Ks, Ksb=Ksb, Wn=min(st.bend_window, st.bend.ips_per_tile),
-        num_seek=st.bend.num_seek_ip,
-        deformed=st.deformed, cut=st.cut,
-        interpret=jax.default_backend() == "cpu")
+        s_cap = int(n_tiles * st.cut_static_frac)
+        s_cap = max(st.tile_chunk, (s_cap // st.tile_chunk) * st.tile_chunk)
+        ids_b, mask_b, n_b, ovf_b = _compact_tiles(bend_tiles, a_cap,
+                                                   all_tids)
+        ids_s, mask_s, n_s, ovf_s = _compact_tiles(static_tiles, s_cap,
+                                                   all_tids)
+        imgs_b, dep_b, ws_b, dr_beam, dr_win = _fused_tile_pass(
+            st, packed_w, ip_pack, p_def, o, pose, intrinsics, H, W,
+            ids_b, mask_b, bbmin, bbmax, True, True, cut_bounds, t_jitter)
+        imgs_s, dep_s, ws_s, _, _ = _fused_tile_pass(
+            st, packed_w, ip_pack, p_def, o, pose, intrinsics, H, W,
+            ids_s, mask_s, bbmin, bbmax, False, False, None, t_jitter)
 
-    imgs = jnp.moveaxis(out[:, 0:3, :], 1, 2)                   # [A, T2, 3]
-    depths = out[:, 3, :]
-    wss = out[:, 4, :]
-    dropped_window = jnp.sum(jnp.where(act_mask, out[:, 5, 0], 0.0))
+        bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (3,))
+        frame = jnp.zeros((n_tiles, T2, 3), jnp.float32) + bg
+        fdepth = jnp.zeros((n_tiles, T2), jnp.float32)
+        fws = jnp.zeros((n_tiles, T2), jnp.float32)
+        for ids_, mask_, im_, de_, ws_ in (
+                (ids_b, mask_b, imgs_b, dep_b, ws_b),
+                (ids_s, mask_s, imgs_s, dep_s, ws_s)):
+            im_ = im_ + (1.0 - ws_)[..., None] * bg
+            safe = jnp.where(mask_, ids_, n_tiles)
+            frame = frame.at[safe].set(im_, mode="drop")
+            fdepth = fdepth.at[safe].set(de_, mode="drop")
+            fws = fws.at[safe].set(ws_, mode="drop")
+        return {"tiles_image": frame, "tiles_depth": fdepth,
+                "tiles_ws": fws, "n_active": n_b + n_s,
+                "n_tile_overflow": ovf_b + ovf_s,
+                "dropped_beam": dr_beam,
+                "dropped_window": dr_win.astype(jnp.int32)}
+
+    imgs, depths, wss, dropped_beam, dropped_window = _fused_tile_pass(
+        st, packed_w, ip_pack, p_def, o, pose, intrinsics, H, W,
+        act_ids, act_mask, bbmin, bbmax, st.deformed, st.cut, cut_bounds,
+        t_jitter)
 
     bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (3,))
     frame = jnp.zeros((n_tiles, T2, 3), jnp.float32) + bg
@@ -514,6 +640,13 @@ def render_frame_exact(
     o, d_all = _tile_rays(all_tids, st, H, W, pose, intrinsics)
     near_all, far_all = _near_far(o, d_all, bbmin, bbmax, st.min_near)
     hit_tile = jnp.any(near_all < 1e30, axis=1)
+    if not st.cut and st.gate_tiles:
+        # same candidate-count gate as the interactive paths: with
+        # margin >= reach the beam provably contains every IP any sample
+        # of the tile could accept, so a gated-out tile is exact
+        # background here too (and n_active stays comparable)
+        hit_tile &= _tiles_with_candidates(
+            st, p_def, o, d_all, near_all, far_all, hit_tile, intrinsics)
     rank = jnp.cumsum(hit_tile) - 1
     take = hit_tile & (rank < a_cap)
     act_ids = jnp.zeros((a_cap,), jnp.int32)

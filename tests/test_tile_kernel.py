@@ -188,6 +188,99 @@ def test_tile_overflow_counted():
     assert int(out["n_tile_overflow"]) > 0
 
 
+def test_candidate_gated_tile_activity_is_lossless():
+    """gate_tiles (round-5): tiles whose beam gate admits zero IPs are
+    dropped from the active set. With margin >= reach the gate provably
+    contains every IP any sample could accept, so the frame must be
+    BIT-IDENTICAL with gating on/off on every path, while act_n strictly
+    shrinks on a bbox-corner-heavy scene (a thin diagonal rod whose bbox
+    is a large cube)."""
+    n = 24
+    tt = np.linspace(-0.45, 0.45, n).astype(np.float32)
+    p = np.stack([tt, tt, tt], 1)
+    F = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    dF = np.zeros((n, 3, 3, 3), np.float32)
+    p_def = jnp.asarray(p)
+    pack_f = beam_bend.pack_ip_data_fast(p_def, p_def, jnp.asarray(F),
+                                         jnp.asarray(dF))
+    pack_g = beam_bend.pack_ip_data(p_def, p_def, jnp.asarray(F),
+                                    jnp.asarray(dF))
+    ist, pw = _settings(dx=0.08, samples=16)
+    ist = ist._replace(tile_chunk=2)
+    H = W = 96
+    intr = (96.0, 96.0, W / 2, H / 2)
+    args = (_pose(), intr, H, W, jnp.float32(1.0))
+
+    for path, pk in (("xla", pack_g), ("fused", pack_f)):
+        fn = (interactive.render_frame if path == "xla"
+              else interactive.render_frame_fused)
+        out_g = fn(ist._replace(gate_tiles=True), pw, pk, p_def, *args)
+        out_u = fn(ist._replace(gate_tiles=False), pw, pk, p_def, *args)
+        assert int(out_g["n_active"]) < int(out_u["n_active"]), path
+        assert int(out_g["n_active"]) > 0, path
+        np.testing.assert_array_equal(
+            np.asarray(out_g["tiles_image"]), np.asarray(out_u["tiles_image"]),
+            err_msg=f"{path} frame changed under gating")
+        np.testing.assert_array_equal(
+            np.asarray(out_g["tiles_ws"]), np.asarray(out_u["tiles_ws"]),
+            err_msg=f"{path} ws changed under gating")
+
+    # exact-bending oracle: same gate, same losslessness
+    out_g = interactive.render_frame_exact(
+        ist._replace(gate_tiles=True), pw, p_def, p_def, jnp.asarray(F),
+        jnp.asarray(dF), *args)
+    out_u = interactive.render_frame_exact(
+        ist._replace(gate_tiles=False), pw, p_def, p_def, jnp.asarray(F),
+        jnp.asarray(dF), *args)
+    assert int(out_g["n_active"]) < int(out_u["n_active"])
+    np.testing.assert_array_equal(
+        np.asarray(out_g["tiles_image"]), np.asarray(out_u["tiles_image"]),
+        err_msg="exact-oracle frame changed under gating")
+
+
+def test_cut_split_matches_single_pass():
+    """cut_split (round-5): the two-class cut frame (bend tiles = rays
+    intersect cut_bounds; static tiles = bend-free kernel) must reproduce
+    the single-pass cut frame exactly — the partition is positional, not
+    approximate. The IP cloud sits off-center so plenty of tiles are
+    static-only."""
+    p_def, p_ori, F, dF = _ip_grid(r0=0.3, dx=0.08, shift=(0.45, 0.0, 0.0))
+    # rest cloud must sit inside the cut box too (bent lookups)
+    p_ori = p_def
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    ist, pw = _settings(dx=0.08, seek=1, samples=16)
+    ist = ist._replace(cut=True, bound=1.0, tile_chunk=2)
+    cb = jnp.asarray([0.05, 0.85, -0.4, 0.4, -0.4, 0.4], jnp.float32)
+    H = W = 96
+    intr = (96.0, 96.0, W / 2, H / 2)
+    args = (_pose(), intr, H, W, jnp.float32(1.0))
+
+    out_s = interactive.render_frame_fused(
+        ist._replace(cut_split=True), pw, pack, p_def, *args,
+        cut_bounds=cb)
+    out_1 = interactive.render_frame_fused(
+        ist._replace(cut_split=False), pw, pack, p_def, *args,
+        cut_bounds=cb)
+    # the split must partition, not relabel: same total active count
+    assert int(out_s["n_active"]) == int(out_1["n_active"]) > 0
+    # both classes must be populated for the test to mean anything —
+    # recompute the classifier the split uses
+    n_tiles = (H // 16) * (W // 16)
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    o, d_all = interactive._tile_rays(tids, ist, H, W, _pose(), intr)
+    cmin = jnp.stack([cb[0], cb[2], cb[4]])
+    cmax = jnp.stack([cb[1], cb[3], cb[5]])
+    cnear, _ = interactive._near_far(o, d_all, cmin, cmax, ist.min_near)
+    n_bend = int(jnp.sum(jnp.any(cnear < 1e30, axis=1)))
+    assert 0 < n_bend < int(out_1["n_active"]), n_bend
+    np.testing.assert_array_equal(
+        np.asarray(out_s["tiles_image"]), np.asarray(out_1["tiles_image"]),
+        err_msg="cut-split changed the frame")
+    np.testing.assert_array_equal(
+        np.asarray(out_s["tiles_ws"]), np.asarray(out_1["tiles_ws"]))
+    assert int(out_s["n_tile_overflow"]) == 0
+
+
 def test_prep_candidates_tighten_margin():
     """tighten_margin crops [t0, t1] to the candidate projection span and
     falls back to the original range when a tile has no candidates."""

@@ -55,6 +55,13 @@ _FAST_EXCLUDE = {
     "test_trainer_features.py::test_precision_tail_switches_to_f32",
     "test_trainer_features.py::test_checkpoint_guards_refuse_non_finite_state",
     "test_trained_golden.py::test_trained_field_golden",
+    # Round-5 gating/cut-split losslessness: interpret-mode Pallas compiles
+    # dominate (~20s each on CPU); the XLA gating arm stays in the tier, the
+    # fused/exact gating arms and the cut-split partition contract run in the
+    # full tier (`pytest tests/` — the tier CI runs nightly and bench rounds
+    # run before shipping render changes).
+    "test_tile_kernel.py::test_candidate_gated_tile_activity_is_lossless_fused_exact",
+    "test_tile_kernel.py::test_cut_split_matches_single_pass",
     "test_wide_student.py::test_wide_student_checkpoint_arch_adoption",
     "test_wide_student.py::test_fused_frame_wide_matches_xla_path",
     "test_clip_guidance.py::test_guidance_wrapper_api",

@@ -188,13 +188,9 @@ def test_tile_overflow_counted():
     assert int(out["n_tile_overflow"]) > 0
 
 
-def test_candidate_gated_tile_activity_is_lossless():
-    """gate_tiles (round-5): tiles whose beam gate admits zero IPs are
-    dropped from the active set. With margin >= reach the gate provably
-    contains every IP any sample could accept, so the frame must be
-    BIT-IDENTICAL with gating on/off on every path, while act_n strictly
-    shrinks on a bbox-corner-heavy scene (a thin diagonal rod whose bbox
-    is a large cube)."""
+def _gate_scene():
+    """Bbox-corner-heavy gating scene: a thin diagonal rod whose bbox is
+    a large cube, so many bbox-hitting tiles have zero beam candidates."""
     n = 24
     tt = np.linspace(-0.45, 0.45, n).astype(np.float32)
     p = np.stack([tt, tt, tt], 1)
@@ -210,22 +206,66 @@ def test_candidate_gated_tile_activity_is_lossless():
     H = W = 96
     intr = (96.0, 96.0, W / 2, H / 2)
     args = (_pose(), intr, H, W, jnp.float32(1.0))
+    return p_def, F, dF, pack_f, pack_g, ist, pw, args
 
-    for path, pk in (("xla", pack_g), ("fused", pack_f)):
-        fn = (interactive.render_frame if path == "xla"
-              else interactive.render_frame_fused)
-        out_g = fn(ist._replace(gate_tiles=True), pw, pk, p_def, *args)
-        out_u = fn(ist._replace(gate_tiles=False), pw, pk, p_def, *args)
-        assert int(out_g["n_active"]) < int(out_u["n_active"]), path
-        assert int(out_g["n_active"]) > 0, path
-        np.testing.assert_array_equal(
-            np.asarray(out_g["tiles_image"]), np.asarray(out_u["tiles_image"]),
-            err_msg=f"{path} frame changed under gating")
-        np.testing.assert_array_equal(
-            np.asarray(out_g["tiles_ws"]), np.asarray(out_u["tiles_ws"]),
-            err_msg=f"{path} ws changed under gating")
 
-    # exact-bending oracle: same gate, same losslessness
+def _assert_gate_lossless(fn, ist, pw, pk, p_def, args, label):
+    out_g = fn(ist._replace(gate_tiles=True), pw, pk, p_def, *args)
+    out_u = fn(ist._replace(gate_tiles=False), pw, pk, p_def, *args)
+    assert int(out_g["n_active"]) < int(out_u["n_active"]), label
+    assert int(out_g["n_active"]) > 0, label
+    np.testing.assert_array_equal(
+        np.asarray(out_g["tiles_image"]), np.asarray(out_u["tiles_image"]),
+        err_msg=f"{label} frame changed under gating")
+    np.testing.assert_array_equal(
+        np.asarray(out_g["tiles_ws"]), np.asarray(out_u["tiles_ws"]),
+        err_msg=f"{label} ws changed under gating")
+
+
+def test_gated_out_tiles_render_as_background():
+    """Fast-tier arm of the gate_tiles losslessness contract, one compile:
+    render UNGATED once, recompute the gate mask the renderer uses, and
+    assert every tile the gate would drop composited to pure background
+    (ws == 0) — which is exactly why dropping it is lossless. Also checks
+    the gate actually bites on this bbox-corner-heavy scene. The on/off
+    bit-identity twins (xla/fused/exact) run in the full tier."""
+    p_def, F, dF, pack_f, pack_g, ist, pw, args = _gate_scene()
+    pose, intr, H, W, bg = args
+    out = interactive.render_frame(
+        ist._replace(gate_tiles=False), pw, pack_g, p_def, *args)
+
+    n_tiles = (H // ist.tile) * (W // ist.tile)
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    o, d_all = interactive._tile_rays(tids, ist, H, W, pose, intr)
+    marg = 1e-3
+    bbmin = jnp.min(p_def, axis=0) - marg
+    bbmax = jnp.max(p_def, axis=0) + marg
+    near_all, far_all = interactive._near_far(o, d_all, bbmin, bbmax,
+                                              ist.min_near)
+    hit = jnp.any(near_all < 1e30, axis=1)
+    gate = interactive._tiles_with_candidates(
+        ist, p_def, o, d_all, near_all, far_all, hit, intr)
+    dropped = np.asarray(hit & ~gate)
+    assert dropped.sum() > 0          # the gate bites
+    assert int(np.asarray(hit & gate).sum()) > 0
+    ws = np.asarray(out["tiles_ws"])
+    im = np.asarray(out["tiles_image"])
+    np.testing.assert_array_equal(ws[dropped], 0.0,
+                                  err_msg="gated-out tile had coverage")
+    np.testing.assert_array_equal(im[dropped], float(bg),
+                                  err_msg="gated-out tile not background")
+
+
+def test_candidate_gated_tile_activity_is_lossless_fused_exact():
+    """Full-tier arms of the gating losslessness contract: bit-identical
+    frames with gating on/off on the XLA, fused-Pallas, and exact-oracle
+    paths, with act_n strictly shrinking."""
+    p_def, F, dF, pack_f, pack_g, ist, pw, args = _gate_scene()
+    _assert_gate_lossless(interactive.render_frame, ist, pw, pack_g,
+                          p_def, args, "xla")
+    _assert_gate_lossless(interactive.render_frame_fused, ist, pw, pack_f,
+                          p_def, args, "fused")
+
     out_g = interactive.render_frame_exact(
         ist._replace(gate_tiles=True), pw, p_def, p_def, jnp.asarray(F),
         jnp.asarray(dF), *args)
@@ -251,8 +291,8 @@ def test_cut_split_matches_single_pass():
     ist, pw = _settings(dx=0.08, seek=1, samples=16)
     ist = ist._replace(cut=True, bound=1.0, tile_chunk=2)
     cb = jnp.asarray([0.05, 0.85, -0.4, 0.4, -0.4, 0.4], jnp.float32)
-    H = W = 96
-    intr = (96.0, 96.0, W / 2, H / 2)
+    H = W = 64  # 16 tiles — enough for both classes; keeps the fast tier fast
+    intr = (64.0, 64.0, W / 2, H / 2)
     args = (_pose(), intr, H, W, jnp.float32(1.0))
 
     out_s = interactive.render_frame_fused(

@@ -8,7 +8,7 @@ XLA stages; the [3B, T2, K] bending intermediates alone moved ~50 MB of HBM
 per 32-tile chunk (~90 ms/frame). Here every per-sample intermediate lives
 in VMEM; HBM traffic per tile is ~45 KB in + 8 KB out.
 
-Structure (one grid step = one 16x16 image tile):
+Structure (one grid step = block_tiles 16x16 image tiles, each:)
 
   slab near/far per ray (in-kernel, from dirs + bbox scalars)
   for each depth segment of Ks samples (fori over K/Ks, early-exit when the
@@ -235,28 +235,41 @@ def _sh4_rows(x, y, z, dtype):
 
 
 def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
-                 deformed, cut, compute_dtype, wd=64):
+                 deformed, cut, compute_dtype, wd=64, B=1):
     n_seg = K // Ks
     Nb = T2 * Ks
 
     def kernel(sc_ref, bs_ref, par_ref, dirs_ref, cand_ref, w_ref, out_ref,
                cum_ref, st_ref):
-        # sc_ref  [1, 1, 8]  SMEM:  t0, t1, active, pad...
-        # bs_ref  [1, 1, BS] SMEM:  bin_start prefix counts (BS >= K + 3)
+        # sc_ref  [B, 1, 8]  SMEM:  t0, t1, active, pad...
+        # bs_ref  [B, 1, BS] SMEM:  bin_start prefix counts (BS >= K + 3)
         # par_ref [1, 1, 24] SMEM:  o(3) bbmin(3) bbmax(3) T_thresh dscale ip_dx
         #                        min_near cut_bounds(6) t_jitter (slot 19,
         #                        in [0,1), 0.5 = bin centers; spp jitter)
         #                        bend reach (slot 20, world units)
-        # dirs_ref [1, 8, T2] VMEM: rows 0..2 = ray dir components
-        # cand_ref [1, P, 16] VMEM: depth-sorted fast-pack candidate rows
+        # dirs_ref [B, 8, T2] VMEM: rows 0..2 = ray dir components
+        # cand_ref [B, P, 16] VMEM: depth-sorted fast-pack candidate rows
         # w_ref    [L, Wd, Wd] VMEM: packed MLP weights (Wd = 64 or 128)
-        # out_ref  [1, 8, T2]: rgb(3) depth ws drop_cnt pad pad
-        # cum_ref  [1, T2] VMEM scratch: accumulated optical depth
+        # out_ref  [B, 8, T2]: rgb(3) depth ws drop_cnt pad pad
+        # cum_ref  [1, T2] VMEM scratch: accumulated optical depth (per tile,
+        #          re-zeroed for each of the B tiles in the block)
         # st_ref   [2] SMEM scratch: alive flag, dropped-candidate count
+        #
+        # B tiles share one grid step: the per-step floor (block DMA latency
+        # + Mosaic step machinery) measured ~9 us/step at the bench point —
+        # 11.2 ms of a 33 ms frame at a_cap=1248 (tools/kernel_decomp.py).
+        # Batching B tiles divides that floor by B; the per-tile body is
+        # unchanged (python-level unroll, per-tile scalar windows intact).
+        for b in range(B):
+            _tile_body(b, sc_ref, bs_ref, par_ref, dirs_ref, cand_ref,
+                       w_ref, out_ref, cum_ref, st_ref)
+
+    def _tile_body(b, sc_ref, bs_ref, par_ref, dirs_ref, cand_ref, w_ref,
+                   out_ref, cum_ref, st_ref):
         cdt = compute_dtype
-        t0 = sc_ref[0, 0, 0]
-        t1 = sc_ref[0, 0, 1]
-        active = sc_ref[0, 0, 2] > 0.0
+        t0 = sc_ref[b, 0, 0]
+        t1 = sc_ref[b, 0, 1]
+        active = sc_ref[b, 0, 2] > 0.0
         ox = par_ref[0, 0, 0]
         oy = par_ref[0, 0, 1]
         oz = par_ref[0, 0, 2]
@@ -266,7 +279,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         min_near = par_ref[0, 0, 12]
         t_jit = par_ref[0, 0, 19]
 
-        out_ref[0, :, :] = jnp.zeros((8, T2), jnp.float32)
+        out_ref[b, :, :] = jnp.zeros((8, T2), jnp.float32)
         cum_ref[0, :] = jnp.zeros((T2,), jnp.float32)
         st_ref[0] = 1
         st_ref[1] = 0
@@ -276,8 +289,8 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
             # Everything below stays strictly 2-D (Mosaic rejects 1-D shape
             # casts). Flat sample layout: [1, Nb] rows with lane n = k*T2 + r
             # (depth-major); per-ray [1, T2] rows tile across lanes.
-            d_rows = (dirs_ref[0, 0:1, :], dirs_ref[0, 1:2, :],
-                      dirs_ref[0, 2:3, :])                       # 3 x [1, T2]
+            d_rows = (dirs_ref[b, 0:1, :], dirs_ref[b, 1:2, :],
+                      dirs_ref[b, 2:3, :])                       # 3 x [1, T2]
 
             # per-ray slab near/far against the march bbox
             BIG = jnp.float32(3.4e38)
@@ -314,7 +327,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 jnp.ceil(reach / jnp.maximum(dt_s, 1e-9)).astype(jnp.int32),
                 1)    # floor at the legacy 1-bin halo (reach 0 = unset)
 
-            def bend_sub(s, b, xf_sub):
+            def bend_sub(s, sb, xf_sub):
                 """Bend one Ksb-deep sub-segment [1, Nbb] against its own
                 (Ksb + 2*halo)-bin candidate window (Wn rows). Returns
                 (xm parts, found).
@@ -327,15 +340,15 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 list's edge (row 0 / the appended valid count), keeping
                 outside-binning candidates reachable from end samples."""
                 Nbb = T2 * Ksb
-                k0 = s * Ks + b * Ksb
+                k0 = s * Ks + sb * Ksb
                 # sample depth k -> bin k+1; window bins [k0+1-halo,
                 # k0+Ksb+halo] -> prefix edges [k0+1-halo, k0+Ksb+1+halo]
                 lo_i = k0 + 1 - halo
                 hi_i = k0 + Ksb + 1 + halo
                 lo = jnp.where(lo_i <= 0, 0,
-                               bs_ref[0, 0, jnp.maximum(lo_i, 0)])
-                hi = jnp.where(hi_i >= K + 2, bs_ref[0, 0, K + 3],
-                               bs_ref[0, 0, jnp.minimum(hi_i, K + 2)])
+                               bs_ref[b, 0, jnp.maximum(lo_i, 0)])
+                hi = jnp.where(hi_i >= K + 2, bs_ref[b, 0, K + 3],
+                               bs_ref[b, 0, jnp.minimum(hi_i, K + 2)])
                 # When [lo, hi) exceeds Wn rows, CENTER the kept rows on
                 # the sub-segment's own bins: a depth-sorted prefix would
                 # keep only the window's near end, starving far samples of
@@ -343,13 +356,13 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 # 1-bin halo on dense wide-FOV tiles —
                 # test_reach_halo_beats_legacy_one_bin_halo_vs_exact).
                 # Overflow is counted either way.
-                own_lo = bs_ref[0, 0, k0 + 1]
-                own_hi = bs_ref[0, 0, k0 + Ksb + 1]
+                own_lo = bs_ref[b, 0, k0 + 1]
+                own_hi = bs_ref[b, 0, k0 + Ksb + 1]
                 a = own_lo - (Wn - (own_hi - own_lo)) // 2
                 a = jnp.clip(a, lo, jnp.maximum(lo, hi - Wn))
                 a = jnp.clip(a, 0, P - Wn)
                 st_ref[1] += jnp.maximum(hi - lo - Wn, 0)
-                cw = cand_ref[0, pl.ds(a, Wn), :]               # [Wn, 16]
+                cw = cand_ref[b, pl.ds(a, Wn), :]               # [Wn, 16]
                 rowi = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
                 row_ok = ((rowi >= lo - a) & (rowi < hi - a)
                           & (cw[:, PACK_FAST - 1:PACK_FAST] > 0.0))
@@ -420,10 +433,10 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 if deformed:
                     Nbb = T2 * Ksb
                     parts = []
-                    for b in range(Ks // Ksb):
-                        xf_sub = tuple(xf[i][:, b * Nbb:(b + 1) * Nbb]
+                    for sb in range(Ks // Ksb):
+                        xf_sub = tuple(xf[i][:, sb * Nbb:(sb + 1) * Nbb]
                                        for i in range(3))
-                        parts.append(bend_sub(s, b, xf_sub))
+                        parts.append(bend_sub(s, sb, xf_sub))
                     xm = tuple(
                         jnp.concatenate([p[0][i] for p in parts], axis=1)
                         for i in range(3))
@@ -486,11 +499,11 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 include = T_prev >= T_thresh
                 wgt = jnp.where(include, (1.0 - jnp.exp(-tau)) * T_prev, 0.0)
 
-                out_ref[0, 0:1, :] += _sum_depth(wgt * rgb[0:1, :], Ks, T2)
-                out_ref[0, 1:2, :] += _sum_depth(wgt * rgb[1:2, :], Ks, T2)
-                out_ref[0, 2:3, :] += _sum_depth(wgt * rgb[2:3, :], Ks, T2)
-                out_ref[0, 3:4, :] += _sum_depth(wgt * t, Ks, T2)
-                out_ref[0, 4:5, :] += _sum_depth(wgt, Ks, T2)
+                out_ref[b, 0:1, :] += _sum_depth(wgt * rgb[0:1, :], Ks, T2)
+                out_ref[b, 1:2, :] += _sum_depth(wgt * rgb[1:2, :], Ks, T2)
+                out_ref[b, 2:3, :] += _sum_depth(wgt * rgb[2:3, :], Ks, T2)
+                out_ref[b, 3:4, :] += _sum_depth(wgt * t, Ks, T2)
+                out_ref[b, 4:5, :] += _sum_depth(wgt, Ks, T2)
                 cum_ref[0:1, :] += csum[:, (Ks - 1) * T2:]
                 alive = jnp.max(jnp.exp(-cum_ref[0:1, :])) >= T_thresh
                 st_ref[0] = alive.astype(jnp.int32)
@@ -508,9 +521,9 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                     slo_i = s * Ks + 1 - halo
                     shi_i = s * Ks + Ks + 1 + halo
                     slo = jnp.where(slo_i <= 0, 0,
-                                    bs_ref[0, 0, jnp.maximum(slo_i, 0)])
-                    shi = jnp.where(shi_i >= K + 2, bs_ref[0, 0, K + 3],
-                                    bs_ref[0, 0, jnp.minimum(shi_i, K + 2)])
+                                    bs_ref[b, 0, jnp.maximum(slo_i, 0)])
+                    shi = jnp.where(shi_i >= K + 2, bs_ref[b, 0, K + 3],
+                                    bs_ref[b, 0, jnp.minimum(shi_i, K + 2)])
                     nonempty = (shi - slo) > 0
                     pred = pred & nonempty
 
@@ -520,7 +533,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 return 0
 
             jax.lax.fori_loop(0, n_seg, seg_step, 0)
-            out_ref[0, 5, :] = jnp.full((T2,), st_ref[1].astype(jnp.float32))
+            out_ref[b, 5, :] = jnp.full((T2,), st_ref[1].astype(jnp.float32))
 
     return kernel
 
@@ -528,7 +541,7 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "K", "Ks", "Ksb", "Wn", "num_seek",
-                     "deformed", "cut", "interpret"),
+                     "deformed", "cut", "interpret", "block_tiles"),
 )
 def render_tiles(
     spec: network.NetworkSpec,
@@ -547,10 +560,15 @@ def render_tiles(
     deformed: bool = True,
     cut: bool = False,
     interpret: bool = False,
+    block_tiles: int = 1,
 ) -> jax.Array:
     """Run the fused kernel over A tiles. Returns out [A, 8, T2]
-    (rows: r, g, b, depth, ws, dropped-candidates, pad, pad)."""
-    A = tile_sc.shape[0]
+    (rows: r, g, b, depth, ws, dropped-candidates, pad, pad).
+
+    ``block_tiles`` tiles share one grid step to amortize the per-step
+    floor (~9 us at the bench point — 11.2 ms/frame at a_cap=1248,
+    tools/kernel_decomp.py). A is padded up to a multiple with inactive
+    slots (the pad rows come back zero and callers index by slot)."""
     P = cand.shape[1]
     assert P >= Wn, f"candidate capacity {P} must be >= window {Wn}"
     n_sigma = spec.num_layers
@@ -562,30 +580,45 @@ def render_tiles(
         f"count — prep_candidates)")
 
     assert K % Ks == 0 and Ks % Ksb == 0
+    B = max(1, block_tiles)
+    A0 = tile_sc.shape[0]
+    if A0 % B:
+        pad = B - A0 % B
+        tile_sc = jnp.concatenate(
+            [tile_sc, jnp.zeros((pad,) + tile_sc.shape[1:],
+                                tile_sc.dtype)], axis=0)
+        bin_start = jnp.concatenate(
+            [bin_start, jnp.zeros((pad,) + bin_start.shape[1:],
+                                  bin_start.dtype)], axis=0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.ones((pad,) + dirs.shape[1:], dirs.dtype)], axis=0)
+        cand = jnp.concatenate(
+            [cand, jnp.zeros((pad,) + cand.shape[1:], cand.dtype)], axis=0)
+    A = tile_sc.shape[0]
     wd = packed_w.shape[-1]
     kernel = _make_kernel(
         spec, K=K, Ks=Ks, Ksb=Ksb, Wn=Wn, P=P, n_sigma=n_sigma,
         n_color=n_color, num_seek=num_seek, deformed=deformed, cut=cut,
-        compute_dtype=cdt, wd=wd)
+        compute_dtype=cdt, wd=wd, B=B)
 
     out = pl.pallas_call(
         kernel,
-        grid=(A,),
+        grid=(A // B,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((B, 1, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, BS), lambda i: (i, 0, 0),
+            pl.BlockSpec((B, 1, BS), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 24), lambda i: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, T2), lambda i: (i, 0, 0),
+            pl.BlockSpec((B, 8, T2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, PACK_FAST), lambda i: (i, 0, 0),
+            pl.BlockSpec((B, P, PACK_FAST), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((packed_w.shape[0], wd, wd), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, T2), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((B, 8, T2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, 8, T2), jnp.float32),
         scratch_shapes=[
@@ -595,4 +628,4 @@ def render_tiles(
         interpret=interpret,
     )(tile_sc[:, None, :], bin_start[:, None, :],
       params.reshape(1, 1, 24), dirs, cand, packed_w)
-    return out
+    return out[:A0]

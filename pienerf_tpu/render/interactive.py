@@ -94,6 +94,13 @@ class InteractiveSettings(NamedTuple):
     #                                mostly static tiles; overflow is
     #                                counted in n_tile_overflow).
     #                                active_frac sizes the bend class
+    block_tiles: int = 1           # fused kernel: image tiles per Pallas
+    #                                grid step (python-unrolled bodies over
+    #                                one shared step). >1 amortizes the
+    #                                per-step floor; measured neutral at the
+    #                                bench point (PERF.md round-5 frame
+    #                                budget), so the default keeps the
+    #                                round-4 single-tile grid
 
 
 def _tile_rays(tids, settings, H, W, pose, intrinsics):
@@ -434,6 +441,7 @@ def _fused_tile_pass(st, packed_w, ip_pack, p_def, o, pose, intrinsics,
         K=K, Ks=Ks, Ksb=Ksb, Wn=min(st.bend_window, st.bend.ips_per_tile),
         num_seek=st.bend.num_seek_ip,
         deformed=deformed, cut=cut,
+        block_tiles=st.block_tiles,
         interpret=jax.default_backend() == "cpu")
 
     imgs = jnp.moveaxis(out[:, 0:3, :], 1, 2)                   # [A, T2, 3]

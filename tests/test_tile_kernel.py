@@ -488,3 +488,24 @@ def test_reach_halo_beats_legacy_one_bin_halo_vs_exact():
     p_old = psnr_fn(fused(1e-6), img_e)      # legacy 1-bin halo
     assert p_new > p_old + 1.0, (p_new, p_old)
     assert p_new > 30.0, p_new
+
+
+def test_block_tiles_batching_is_exact():
+    """block_tiles>1 shares one Pallas grid step across B tiles (python-
+    unrolled bodies). It must be EXACT vs the single-tile grid, including
+    when B does not divide the active-slot count (the pad path)."""
+    ist, pw = _settings(dx=0.1)
+    p_def, p_ori, F, dF = _ip_grid(dx=0.1, shift=(0.1, 0.0, 0.0))
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    H = W = 64
+    intr = (64.0, 64.0, W / 2, H / 2)
+    out_1 = interactive.render_frame_fused(
+        ist, pw, pack, p_def, _pose(), intr, H, W, jnp.float32(1.0))
+    # a_cap = 16 tiles at active_frac=1.0; B=3 does not divide it
+    out_3 = interactive.render_frame_fused(
+        ist._replace(block_tiles=3), pw, pack, p_def, _pose(), intr,
+        H, W, jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(out_1["tiles_image"]),
+                                  np.asarray(out_3["tiles_image"]))
+    np.testing.assert_array_equal(np.asarray(out_1["tiles_depth"]),
+                                  np.asarray(out_3["tiles_depth"]))

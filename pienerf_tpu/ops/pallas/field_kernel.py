@@ -62,6 +62,38 @@ def pack_weights(params, spec: network.NetworkSpec):
     return jnp.asarray(np.stack(ws))   # [L_total, Wd, Wd]
 
 
+def pack_weights_paired(params, spec: network.NetworkSpec):
+    """Block-diagonal sigma||color weight pairs for the MXU-co-scheduled
+    tile kernel (round-5, VERDICT item 3): position li holds
+    diag(sigma_li or I, color_li or I) as one [128, 128] tile.
+
+    A 64-wide matmul streams the same N cycles through the 128x128
+    systolic array as a 128-wide one but fills only a quarter of it, so
+    the classic net's n_sigma + n_color sequential 64-wide layers run at
+    ~25% MXU utilization. The tile kernel pipelines segment s's sigma
+    chain against segment s-1's color chain (they are independent: color
+    consumes the PREVIOUS segment's stored geo features), turning the
+    per-segment chain into max(n_sigma, n_color) full-width matmuls.
+    The off-diagonal blocks are exactly zero, so each half's values are
+    bit-identical to the unpaired chain (zero products cannot perturb
+    f32 partial sums). The shorter chain is padded with identity blocks
+    at the tail, which pass its finished output through unchanged.
+    """
+    assert spec.backbone == "mlp", "paired packing supports the mlp backbone"
+    assert kernel_width(spec) == 64, (
+        "paired packing co-schedules two 64-wide chains; 128-wide "
+        "students already fill the MXU")
+    sig = [np.asarray(w, np.float32) for w in params["sigma_net"]]
+    col = [np.asarray(w, np.float32) for w in params["color_net"]]
+    lp = max(len(sig), len(col))
+    eye = np.eye(64, dtype=np.float32)
+    out = np.zeros((lp, 128, 128), np.float32)
+    for li in range(lp):
+        out[li, :64, :64] = _pad_to(sig[li], 64, 64) if li < len(sig) else eye
+        out[li, 64:, 64:] = _pad_to(col[li], 64, 64) if li < len(col) else eye
+    return jnp.asarray(out)   # [max(n_sigma, n_color), 128, 128]
+
+
 def _freq_encode_block(x0, x1, x2, n_freqs, bound, dtype):
     """[51ish, Nb] frequency features via the double-angle ladder."""
     rows = []

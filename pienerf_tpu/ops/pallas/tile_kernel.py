@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pienerf_tpu.models import network
+from pienerf_tpu.ops.pallas import field_kernel as _fk
 
 T2 = 256          # rays per 16x16 tile
 PACK_FAST = 16    # beam_bend.PACK_FAST rows: p_def(3) p_ori(3) Finv(9) valid
@@ -235,12 +236,13 @@ def _sh4_rows(x, y, z, dtype):
 
 
 def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
-                 deformed, cut, compute_dtype, wd=64, B=1):
+                 deformed, cut, compute_dtype, wd=64, B=1, paired=False):
     n_seg = K // Ks
     Nb = T2 * Ks
+    lp = max(n_sigma, n_color)
 
     def kernel(sc_ref, bs_ref, par_ref, dirs_ref, cand_ref, w_ref, out_ref,
-               cum_ref, st_ref):
+               cum_ref, st_ref, geo_ref=None):
         # sc_ref  [B, 1, 8]  SMEM:  t0, t1, active, pad...
         # bs_ref  [B, 1, BS] SMEM:  bin_start prefix counts (BS >= K + 3)
         # par_ref [1, 1, 24] SMEM:  o(3) bbmin(3) bbmax(3) T_thresh dscale ip_dx
@@ -260,12 +262,16 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         # 11.2 ms of a 33 ms frame at a_cap=1248 (tools/kernel_decomp.py).
         # Batching B tiles divides that floor by B; the per-tile body is
         # unchanged (python-level unroll, per-tile scalar windows intact).
+        # geo_ref [16, Nb] VMEM scratch (paired only): rows 0..14 = the
+        #          previous executed segment's geo features, row 15 = its
+        #          composite weights; st_ref[2] = pending flag (see the
+        #          paired-MLP note in `segment`)
         for b in range(B):
             _tile_body(b, sc_ref, bs_ref, par_ref, dirs_ref, cand_ref,
-                       w_ref, out_ref, cum_ref, st_ref)
+                       w_ref, out_ref, cum_ref, st_ref, geo_ref)
 
     def _tile_body(b, sc_ref, bs_ref, par_ref, dirs_ref, cand_ref, w_ref,
-                   out_ref, cum_ref, st_ref):
+                   out_ref, cum_ref, st_ref, geo_ref):
         cdt = compute_dtype
         t0 = sc_ref[b, 0, 0]
         t1 = sc_ref[b, 0, 1]
@@ -283,6 +289,12 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
         cum_ref[0, :] = jnp.zeros((T2,), jnp.float32)
         st_ref[0] = 1
         st_ref[1] = 0
+        if paired:
+            st_ref[2] = 0
+            # scratch must not hold garbage: the first segment's color
+            # half runs on it (masked by the pending flag, but 0 * NaN
+            # would still poison the composite)
+            geo_ref[:, :] = jnp.zeros((16, Nb), jnp.float32)
 
         @pl.when(active)
         def _body():
@@ -309,6 +321,30 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
             dt_s = (t1 - t0) / K
             df = tuple(jnp.concatenate([d_rows[i]] * Ks, axis=1)
                        for i in range(3))                        # [1, Nb]
+            # SH rows depend only on the (per-ray) directions — hoisted
+            # out of the segment loop (they used to be recomputed
+            # identically per segment)
+            sh = _sh4_rows(df[0], df[1], df[2], cdt)             # [16, Nb]
+
+            def paired_chain(hp):
+                """max(n_sigma, n_color) block-diagonal [128,128] matmuls;
+                ReLU applies per half only between ITS chain's layers (the
+                shorter chain's identity tail passes its output through
+                untouched)."""
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                for li in range(lp):
+                    hp = jax.lax.dot_general(
+                        w_ref[li].astype(cdt), hp,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(cdt)
+                    rt = li < n_sigma - 1
+                    rb = li < n_color - 1
+                    if rt and rb:
+                        hp = jnp.maximum(hp, 0.0)
+                    elif rt or rb:
+                        m = (rowi < 64) if rt else (rowi >= 64)
+                        hp = jnp.where(m, jnp.maximum(hp, 0.0), hp)
+                return hp
             near_f = jnp.concatenate([near] * Ks, axis=1)
             far_f = jnp.concatenate([far] * Ks, axis=1)
             thit_f = jnp.concatenate([thit] * Ks, axis=1)
@@ -463,30 +499,54 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 enc = _freq_rows(xm[0], xm[1], xm[2],
                                  spec.n_freqs, spec.bound, cdt)
                 f = enc.shape[0]
-                h = jnp.concatenate(
-                    [enc, jnp.zeros((wd - f, Nb), cdt)], axis=0)
-                for li in range(n_sigma):
-                    h = jax.lax.dot_general(
-                        w_ref[li].astype(cdt), h,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(cdt)
-                    if li != n_sigma - 1:
-                        h = jnp.maximum(h, 0.0)
-                sigma = jnp.exp(
-                    jnp.clip(h[0:1, :].astype(jnp.float32), -15.0, 15.0))
-                geo = h[1:16, :]
+                if paired:
+                    # MXU co-scheduling (field_kernel.pack_weights_paired):
+                    # THIS segment's sigma chain runs in lanes 0..63
+                    # against the PREVIOUS executed segment's color chain
+                    # in lanes 64..127. The pair is dependency-free —
+                    # color consumes the stored geo features — so each
+                    # [128,128] block-diagonal matmul replaces two
+                    # quarter-utilization 64-wide ones (n_sigma + n_color
+                    # passes -> max of the two). The previous segment's
+                    # rgb composites here against its stored weights; the
+                    # final pending segment drains after the loop. Values
+                    # are bit-identical to the unpaired chain: the off-
+                    # diagonal blocks are exactly zero and zero products
+                    # cannot perturb the f32 partial sums.
+                    geo_prev = geo_ref[0:15, :].astype(cdt)
+                    hp = jnp.concatenate(
+                        [enc, jnp.zeros((64 - f, Nb), cdt), sh, geo_prev,
+                         jnp.zeros((33, Nb), cdt)], axis=0)
+                    hp = paired_chain(hp)
+                    sigma = jnp.exp(jnp.clip(
+                        hp[0:1, :].astype(jnp.float32), -15.0, 15.0))
+                    geo = hp[1:16, :]
+                    rgb_prev = jax.nn.sigmoid(
+                        hp[64:67, :].astype(jnp.float32))
+                else:
+                    h = jnp.concatenate(
+                        [enc, jnp.zeros((wd - f, Nb), cdt)], axis=0)
+                    for li in range(n_sigma):
+                        h = jax.lax.dot_general(
+                            w_ref[li].astype(cdt), h,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(cdt)
+                        if li != n_sigma - 1:
+                            h = jnp.maximum(h, 0.0)
+                    sigma = jnp.exp(
+                        jnp.clip(h[0:1, :].astype(jnp.float32), -15.0, 15.0))
+                    geo = h[1:16, :]
 
-                sh = _sh4_rows(df[0], df[1], df[2], cdt)
-                hc = jnp.concatenate(
-                    [sh, geo, jnp.zeros((wd - 31, Nb), cdt)], axis=0)
-                for li in range(n_color):
-                    hc = jax.lax.dot_general(
-                        w_ref[n_sigma + li].astype(cdt), hc,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(cdt)
-                    if li != n_color - 1:
-                        hc = jnp.maximum(hc, 0.0)
-                rgb = jax.nn.sigmoid(hc[:3, :].astype(jnp.float32))
+                    hc = jnp.concatenate(
+                        [sh, geo, jnp.zeros((wd - 31, Nb), cdt)], axis=0)
+                    for li in range(n_color):
+                        hc = jax.lax.dot_general(
+                            w_ref[n_sigma + li].astype(cdt), hc,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32).astype(cdt)
+                        if li != n_color - 1:
+                            hc = jnp.maximum(hc, 0.0)
+                    rgb = jax.nn.sigmoid(hc[:3, :].astype(jnp.float32))
 
                 # ---- composite (transmittance carried in cum_ref), flat
                 vmask = (found & (t >= near_f) & (t <= far_f) & thit_f)
@@ -499,14 +559,34 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 include = T_prev >= T_thresh
                 wgt = jnp.where(include, (1.0 - jnp.exp(-tau)) * T_prev, 0.0)
 
-                out_ref[b, 0:1, :] += _sum_depth(wgt * rgb[0:1, :], Ks, T2)
-                out_ref[b, 1:2, :] += _sum_depth(wgt * rgb[1:2, :], Ks, T2)
-                out_ref[b, 2:3, :] += _sum_depth(wgt * rgb[2:3, :], Ks, T2)
+                if paired:
+                    # rgb contribution of the PREVIOUS executed segment
+                    # (zero the first time through via the pending flag);
+                    # depth/ws rows need no rgb and accumulate immediately
+                    wp = (geo_ref[15:16, :]
+                          * (st_ref[2] == 1).astype(jnp.float32))
+                    out_ref[b, 0:1, :] += _sum_depth(
+                        wp * rgb_prev[0:1, :], Ks, T2)
+                    out_ref[b, 1:2, :] += _sum_depth(
+                        wp * rgb_prev[1:2, :], Ks, T2)
+                    out_ref[b, 2:3, :] += _sum_depth(
+                        wp * rgb_prev[2:3, :], Ks, T2)
+                else:
+                    out_ref[b, 0:1, :] += _sum_depth(wgt * rgb[0:1, :],
+                                                     Ks, T2)
+                    out_ref[b, 1:2, :] += _sum_depth(wgt * rgb[1:2, :],
+                                                     Ks, T2)
+                    out_ref[b, 2:3, :] += _sum_depth(wgt * rgb[2:3, :],
+                                                     Ks, T2)
                 out_ref[b, 3:4, :] += _sum_depth(wgt * t, Ks, T2)
                 out_ref[b, 4:5, :] += _sum_depth(wgt, Ks, T2)
                 cum_ref[0:1, :] += csum[:, (Ks - 1) * T2:]
                 alive = jnp.max(jnp.exp(-cum_ref[0:1, :])) >= T_thresh
                 st_ref[0] = alive.astype(jnp.int32)
+                if paired:
+                    geo_ref[0:15, :] = geo.astype(jnp.float32)
+                    geo_ref[15:16, :] = wgt
+                    st_ref[2] = 1
 
             def seg_step(s, _):
                 pred = st_ref[0] == 1
@@ -533,6 +613,25 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
                 return 0
 
             jax.lax.fori_loop(0, n_seg, seg_step, 0)
+            if paired:
+                @pl.when(st_ref[2] == 1)
+                def _drain():
+                    # flush the last pending segment's color (its sigma
+                    # chain input is zeros; the nets are bias-free so the
+                    # top half stays exactly zero)
+                    geo_prev = geo_ref[0:15, :].astype(cdt)
+                    hp = jnp.concatenate(
+                        [jnp.zeros((64, Nb), cdt), sh, geo_prev,
+                         jnp.zeros((33, Nb), cdt)], axis=0)
+                    hp = paired_chain(hp)
+                    rgb = jax.nn.sigmoid(hp[64:67, :].astype(jnp.float32))
+                    wp = geo_ref[15:16, :]
+                    out_ref[b, 0:1, :] += _sum_depth(wp * rgb[0:1, :],
+                                                     Ks, T2)
+                    out_ref[b, 1:2, :] += _sum_depth(wp * rgb[1:2, :],
+                                                     Ks, T2)
+                    out_ref[b, 2:3, :] += _sum_depth(wp * rgb[2:3, :],
+                                                     Ks, T2)
             out_ref[b, 5, :] = jnp.full((T2,), st_ref[1].astype(jnp.float32))
 
     return kernel
@@ -541,7 +640,8 @@ def _make_kernel(spec, *, K, Ks, Ksb, Wn, P, n_sigma, n_color, num_seek,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "K", "Ks", "Ksb", "Wn", "num_seek",
-                     "deformed", "cut", "interpret", "block_tiles"),
+                     "deformed", "cut", "interpret", "block_tiles",
+                     "paired"),
 )
 def render_tiles(
     spec: network.NetworkSpec,
@@ -561,6 +661,7 @@ def render_tiles(
     cut: bool = False,
     interpret: bool = False,
     block_tiles: int = 1,
+    paired: "bool | None" = None,
 ) -> jax.Array:
     """Run the fused kernel over A tiles. Returns out [A, 8, T2]
     (rows: r, g, b, depth, ws, dropped-candidates, pad, pad).
@@ -596,10 +697,20 @@ def render_tiles(
             [cand, jnp.zeros((pad,) + cand.shape[1:], cand.dtype)], axis=0)
     A = tile_sc.shape[0]
     wd = packed_w.shape[-1]
+    if paired is None:
+        # a 128-wide pack for a 64-wide net can only be the block-
+        # diagonal sigma||color pairing (wide students have
+        # kernel_width == 128 and pack 128-wide to begin with), so
+        # callers opt in simply by packing with pack_weights_paired
+        paired = (wd == 128 and _fk.kernel_width(spec) == 64)
+    if paired:
+        assert packed_w.shape == (max(n_sigma, n_color), 128, 128), (
+            f"paired=True expects pack_weights_paired layout "
+            f"[{max(n_sigma, n_color)}, 128, 128], got {packed_w.shape}")
     kernel = _make_kernel(
         spec, K=K, Ks=Ks, Ksb=Ksb, Wn=Wn, P=P, n_sigma=n_sigma,
         n_color=n_color, num_seek=num_seek, deformed=deformed, cut=cut,
-        compute_dtype=cdt, wd=wd, B=B)
+        compute_dtype=cdt, wd=wd, B=B, paired=paired)
 
     out = pl.pallas_call(
         kernel,
@@ -623,8 +734,8 @@ def render_tiles(
         out_shape=jax.ShapeDtypeStruct((A, 8, T2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, T2), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-        ],
+            pltpu.SMEM((3,), jnp.int32),
+        ] + ([pltpu.VMEM((16, T2 * Ks), jnp.float32)] if paired else []),
         interpret=interpret,
     )(tile_sc[:, None, :], bin_start[:, None, :],
       params.reshape(1, 1, 24), dirs, cand, packed_w)

@@ -79,6 +79,7 @@ _FAST_EXCLUDE = {
     "test_tile_kernel.py::test_reach_halo_beats_legacy_one_bin_halo_vs_exact",
     "test_tile_kernel.py::test_fused_tightened_frame_matches_untightened",
     "test_tile_kernel.py::test_block_tiles_batching_is_exact",
+    "test_tile_kernel.py::test_paired_mlp_co_scheduling_matches_unpaired",
     "test_tile_kernel.py::test_fused_vs_exact_bending_found_samples",
     "test_tile_kernel.py::test_capacity_overflow_is_counted_not_silent",
     "test_tile_kernel.py::test_tile_overflow_counted",

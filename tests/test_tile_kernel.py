@@ -509,3 +509,38 @@ def test_block_tiles_batching_is_exact():
                                   np.asarray(out_3["tiles_image"]))
     np.testing.assert_array_equal(np.asarray(out_1["tiles_depth"]),
                                   np.asarray(out_3["tiles_depth"]))
+
+
+def test_paired_mlp_co_scheduling_matches_unpaired():
+    """The block-diagonal sigma||color pairing (pack_weights_paired +
+    the pipelined pair chain) must reproduce the unpaired kernel's frame:
+    the off-diagonal weight blocks are exactly zero, so each half's
+    values are bit-identical; only the schedule changes. Covers deformed
+    (with segment skips + early termination) and static modes."""
+    ist, pw = _settings(dx=0.1)
+    p_def, p_ori, F, dF = _ip_grid(dx=0.1, shift=(0.1, 0.0, 0.0))
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    spec = ist.spec
+    params = network.init_params(jax.random.PRNGKey(0), spec)
+    pwp = field_kernel.pack_weights_paired(params, spec)
+    assert pwp.shape == (max(spec.num_layers, spec.num_layers_color),
+                         128, 128)
+    H = W = 64
+    intr = (64.0, 64.0, W / 2, H / 2)
+    cb = jnp.asarray([-0.2, 0.3, -0.5, 0.5, -0.5, 0.5], jnp.float32)
+    for st, kw in ((ist, {}), (ist._replace(deformed=False), {}),
+                   (ist._replace(cut=True), {"cut_bounds": cb})):
+        out_u = interactive.render_frame_fused(
+            st, pw, pack, p_def, _pose(), intr, H, W, jnp.float32(1.0),
+            **kw)
+        out_p = interactive.render_frame_fused(
+            st, pwp, pack, p_def, _pose(), intr, H, W, jnp.float32(1.0),
+            **kw)
+        a = np.asarray(out_u["tiles_image"])
+        bb = np.asarray(out_p["tiles_image"])
+        assert np.allclose(a, bb, atol=1e-6), (
+            f"deformed={st.deformed}: max abs diff "
+            f"{np.abs(a - bb).max()}")
+        np.testing.assert_allclose(np.asarray(out_u["tiles_depth"]),
+                                   np.asarray(out_p["tiles_depth"]),
+                                   atol=1e-6)

@@ -113,8 +113,11 @@ def main():
             p_def, consts.ip_pos.astype(jnp.float32), F, dF), p_def
     pk, pd = pack_fn(state)
 
+    pw_paired = None
+
     arms = [
         ("default B1", ist),
+        ("paired MLP", ist),
         ("B2", ist._replace(block_tiles=2)),
         ("B4", ist._replace(block_tiles=4)),
         ("static (no bend)", ist._replace(deformed=False)),
@@ -132,11 +135,17 @@ def main():
     for name, st_arm in arms:
         acc = [None]
         t0 = time.perf_counter()
+        if name == "paired MLP":
+            if pw_paired is None:
+                pw_paired = field_kernel.pack_weights_paired(params, spec)
+            pw_arm = pw_paired
+        else:
+            pw_arm = pw
 
-        def run(k, st_arm=st_arm):
+        def run(k, st_arm=st_arm, pw_arm=pw_arm):
             out = interactive.render_frame_fused(
-                st_arm, pw, pk, pd, pose_j, intr, H, W, jnp.float32(1.0),
-                t_jitter=0.25 + 1e-5 * (k % 17))
+                st_arm, pw_arm, pk, pd, pose_j, intr, H, W,
+                jnp.float32(1.0), t_jitter=0.25 + 1e-5 * (k % 17))
             acc[0] = out["tiles_image"] if acc[0] is None \
                 else acc[0] + out["tiles_image"]
         try:

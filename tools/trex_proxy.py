@@ -173,7 +173,10 @@ def stage_sim(root: str):
     return ply
 
 
-def stage_bench(root: str, frames: int = 20):
+def stage_bench(root: str, frames: int = 20, active_frac: float = 0.5,
+                ips_per_tile: int = 256, bin_capacity: int = 8,
+                bend_window: int = 64, cut_static_frac: float = 0.95,
+                paired: bool = False, out_path: str = "runs/trex_proxy.json"):
     import jax
     import jax.numpy as jnp
 
@@ -204,10 +207,14 @@ def stage_bench(root: str, frames: int = 20):
     # of the reference's max_steps=300 march budget
     bst = beam_bend.BeamBendSettings(
         num_seek_ip=1, max_iter_num=1, ip_dx=1.05 * cfg.sim_dx,
-        ips_per_tile=256, bin_capacity=8)
+        ips_per_tile=ips_per_tile, bin_capacity=bin_capacity)
     ist = interactive.InteractiveSettings(
-        spec=spec, bend=bst, tile=16, samples=128, active_frac=0.5,
-        tile_chunk=32, min_near=0.05, T_thresh=5e-2, cut=True, bound=1.0)
+        spec=spec, bend=bst, tile=16, samples=128,
+        active_frac=active_frac, tile_chunk=32, min_near=0.05,
+        T_thresh=5e-2, cut=True, bound=1.0, bend_window=bend_window,
+        cut_static_frac=cut_static_frac)
+    if paired:
+        pw = field_kernel.pack_weights_paired(params, spec)
     H, W = H_RUN, W_RUN
     focal = 0.9 * H_DATA
     intr = (focal, focal, W / 2.0, H / 2.0)
@@ -296,9 +303,13 @@ def stage_bench(root: str, frames: int = 20):
             "n_ip": int(aux["n_ip"]),
             "capacity_drops_frame0": drops,
             "fused_vs_exact_cut_psnr": round(psnr, 2),
+            "operating_point": {
+                "active_frac": active_frac, "ips_per_tile": ips_per_tile,
+                "bin_capacity": bin_capacity, "bend_window": bend_window,
+                "cut_static_frac": cut_static_frac, "paired": paired,
+            },
         },
     }
-    out_path = "runs/trex_proxy.json"
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
@@ -311,6 +322,13 @@ def main():
     ap.add_argument("--n_views", type=int, default=24)
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--stages", default="data,train,sim,bench")
+    ap.add_argument("--active_frac", type=float, default=0.5)
+    ap.add_argument("--ips_per_tile", type=int, default=256)
+    ap.add_argument("--bin_capacity", type=int, default=8)
+    ap.add_argument("--bend_window", type=int, default=64)
+    ap.add_argument("--cut_static_frac", type=float, default=0.95)
+    ap.add_argument("--paired", action="store_true")
+    ap.add_argument("--out", default="runs/trex_proxy.json")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
     stages = args.stages.split(",")
@@ -322,7 +340,12 @@ def main():
     if "sim" in stages:
         stage_sim(args.root)
     if "bench" in stages:
-        stage_bench(args.root)
+        stage_bench(args.root, active_frac=args.active_frac,
+                    ips_per_tile=args.ips_per_tile,
+                    bin_capacity=args.bin_capacity,
+                    bend_window=args.bend_window,
+                    cut_static_frac=args.cut_static_frac,
+                    paired=args.paired, out_path=args.out)
 
 
 if __name__ == "__main__":

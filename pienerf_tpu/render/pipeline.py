@@ -84,6 +84,7 @@ def interactive_frame_step(
     force: jax.Array,             # [3]
     cut_bounds: Optional[jax.Array] = None,
     substeps: int = 1,
+    static_cache: Optional[Dict[str, jax.Array]] = None,
 ) -> Tuple[sim.SimState, Dict[str, jax.Array]]:
     """One coupled interactive frame through the fused tile kernel — force
     application, sim step, IP pack, bend+field+composite — as a SINGLE jit
@@ -117,7 +118,7 @@ def interactive_frame_step(
         p_def, consts.ip_pos.astype(jnp.float32), F, dF)
     out = interactive.render_frame_fused(
         settings, packed_w, pack, p_def, pose, intrinsics, H, W,
-        bg_color, cut_bounds)
+        bg_color, cut_bounds, static_cache=static_cache)
     return state, out
 
 

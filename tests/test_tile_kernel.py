@@ -321,6 +321,38 @@ def test_cut_split_matches_single_pass():
     assert int(out_s["n_tile_overflow"]) == 0
 
 
+def test_cut_static_cache_bit_exact():
+    """render_static_cache (round-5 trex economics): a cut frame fed the
+    camera-fixed static-background cache must be BIT-EXACT vs the uncached
+    cut-split frame — same slots, same pixels, same counters. The cache
+    holds the static-class pass, which depends only on (weights, pose,
+    intrinsics, cut_bounds), never on the sim state."""
+    p_def, p_ori, F, dF = _ip_grid(r0=0.3, dx=0.08, shift=(0.45, 0.0, 0.0))
+    p_ori = p_def
+    pack = beam_bend.pack_ip_data_fast(p_def, p_ori, F, dF)
+    ist, pw = _settings(dx=0.08, seek=1, samples=16)
+    ist = ist._replace(cut=True, bound=1.0, tile_chunk=2, cut_split=True)
+    cb = jnp.asarray([0.05, 0.85, -0.4, 0.4, -0.4, 0.4], jnp.float32)
+    H = W = 64
+    intr = (64.0, 64.0, W / 2, H / 2)
+    args = (_pose(), intr, H, W, jnp.float32(1.0))
+
+    cache = interactive.render_static_cache(
+        ist, pw, _pose(), intr, H, W, cb)
+    assert int(cache["n"]) > 0, "no static tiles — test is vacuous"
+    out_c = interactive.render_frame_fused(
+        ist, pw, pack, p_def, *args, cut_bounds=cb, static_cache=cache)
+    out_u = interactive.render_frame_fused(
+        ist, pw, pack, p_def, *args, cut_bounds=cb)
+    for k in ("tiles_image", "tiles_depth", "tiles_ws"):
+        np.testing.assert_array_equal(
+            np.asarray(out_c[k]), np.asarray(out_u[k]),
+            err_msg=f"static cache changed {k}")
+    for k in ("n_active", "n_tile_overflow", "dropped_beam",
+              "dropped_window"):
+        assert int(out_c[k]) == int(out_u[k]), k
+
+
 def test_prep_candidates_tighten_margin():
     """tighten_margin crops [t0, t1] to the candidate projection span and
     falls back to the original range when a tile has no candidates."""
